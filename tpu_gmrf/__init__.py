@@ -1,0 +1,24 @@
+"""tpu-gmrf: TPU-native Gaussian Markov Random Field inference in JAX.
+
+A from-scratch accelerator-first engine with the capabilities of
+GaussianMarkovRandomFields.jl: sparse-precision Gaussian distributions,
+latent model zoo (AR/RW/IID/Besag/BYM2/Combined/Separable/Matérn SPDE),
+exponential-family observation models, Laplace `gaussian_approximation`,
+marginal likelihoods with exact gradients, and native NUTS/HMC/VI/SMC
+samplers sharded across TPU meshes.
+"""
+
+from .sparse import (
+    SparseMatrix,
+    SparsePattern,
+    from_dense,
+    from_scipy,
+    sp_block_diag,
+    sp_kron,
+    spdiag,
+    speye,
+)
+from .solvers import SolverSpec, factorize
+from .gmrf import GMRF, logpdf, sample
+
+__version__ = "0.1.0"
