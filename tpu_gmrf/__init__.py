@@ -20,5 +20,22 @@ from .sparse import (
 )
 from .solvers import SolverSpec, factorize
 from .gmrf import GMRF, logpdf, sample
+from .constrained import ConstrainedGMRF
+from .models import (
+    AR1Model,
+    ARModel,
+    BYM2Model,
+    BesagModel,
+    CARModel,
+    CombinedModel,
+    FixedEffectsModel,
+    IIDModel,
+    LatentModel,
+    RW1Model,
+    RW2Model,
+    RWModel,
+    SeparableModel,
+    generate_car_model,
+)
 
 __version__ = "0.1.0"

@@ -185,6 +185,18 @@ def sp_matmul(a: SparseMatrix, b: SparseMatrix) -> SparseMatrix:
     return SparseMatrix(data, pat)
 
 
+def sp_tridiag(main: jnp.ndarray, off: jnp.ndarray) -> SparseMatrix:
+    """Symmetric tridiagonal matrix from main diagonal (n,) and off-diagonal
+    (n-1,) values."""
+    n = main.shape[-1]
+    idx = np.arange(n, dtype=np.int32)
+    rows = np.concatenate([idx, idx[1:], idx[:-1]])
+    cols = np.concatenate([idx, idx[:-1], idx[1:]])
+    pat = SparsePattern(rows, cols, (n, n))
+    data = jnp.concatenate([main, off, off], axis=-1)
+    return SparseMatrix(data[..., pat.sort_order], pat)
+
+
 def sp_block_diag(mats: list[SparseMatrix]) -> SparseMatrix:
     """Block-diagonal composition (reference: src/latent_models/combined.jl)."""
     rows, cols = [], []
