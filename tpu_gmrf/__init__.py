@@ -37,5 +37,26 @@ from .models import (
     SeparableModel,
     generate_car_model,
 )
+from .observations import (
+    AutoDiffObservationModel,
+    BinomialObservations,
+    CompositeObservationModel,
+    ExponentialFamily,
+    LinearlyTransformedObservationModel,
+    NegativeBinomialObservations,
+    NonlinearLeastSquaresModel,
+    ObservationLikelihood,
+    ObservationModel,
+    PoissonObservations,
+    ZeroLikelihood,
+)
+from .inference import (
+    GAOptions,
+    gaussian_approximation,
+    joint_gmrf,
+    laplace_marginal,
+    linear_condition,
+    marginal_loglikelihood,
+)
 
 __version__ = "0.1.0"
