@@ -1,0 +1,176 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_gmrf.samplers import (
+    LogitTransform,
+    LogTransform,
+    ParamSpec,
+    make_logdensity,
+    run_advi,
+    run_hmc,
+    run_nuts,
+    run_smc,
+)
+
+
+def _gauss_ld(mu, cov_inv):
+    mu = jnp.asarray(mu)
+    cov_inv = jnp.asarray(cov_inv)
+
+    def ld(z):
+        d = z - mu
+        return -0.5 * d @ cov_inv @ d
+
+    return ld
+
+
+def test_nuts_standard_normal_moments():
+    dim = 4
+    mu = np.array([1.0, -2.0, 0.5, 3.0])
+    var = np.array([1.0, 4.0, 0.25, 2.0])
+    ld = _gauss_ld(mu, np.diag(1.0 / var))
+    res = run_nuts(
+        ld,
+        jax.random.PRNGKey(0),
+        jnp.zeros((4, dim)),
+        num_warmup=400,
+        num_samples=800,
+    )
+    samples = np.asarray(res.samples).reshape(-1, dim)
+    np.testing.assert_allclose(samples.mean(axis=0), mu, atol=0.15)
+    np.testing.assert_allclose(samples.var(axis=0), var, rtol=0.25)
+    assert np.asarray(res.accept_prob).mean() > 0.6
+    assert not np.asarray(res.diverging).any()
+
+
+def test_nuts_correlated_gaussian():
+    dim = 3
+    rho = 0.8
+    cov = rho * np.ones((dim, dim)) + (1 - rho) * np.eye(dim)
+    ld = _gauss_ld(np.zeros(dim), np.linalg.inv(cov))
+    res = run_nuts(
+        ld,
+        jax.random.PRNGKey(1),
+        jnp.zeros((4, dim)),
+        num_warmup=500,
+        num_samples=1000,
+    )
+    samples = np.asarray(res.samples).reshape(-1, dim)
+    emp_cov = np.cov(samples.T)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.3)
+
+
+def test_hmc_standard_normal():
+    dim = 3
+    ld = _gauss_ld(np.zeros(dim), np.eye(dim))
+    res = run_hmc(
+        ld,
+        jax.random.PRNGKey(2),
+        jnp.zeros((2, dim)),
+        num_warmup=400,
+        num_samples=800,
+        num_integration_steps=16,
+    )
+    samples = np.asarray(res.samples).reshape(-1, dim)
+    np.testing.assert_allclose(samples.mean(axis=0), np.zeros(dim), atol=0.15)
+    np.testing.assert_allclose(samples.var(axis=0), np.ones(dim), rtol=0.25)
+
+
+def test_nuts_sharded_chains_on_mesh():
+    """8 chains over the 8-device CPU mesh."""
+    from jax.sharding import Mesh
+
+    dim = 2
+    ld = _gauss_ld(np.zeros(dim), np.eye(dim))
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    res = run_nuts(
+        ld,
+        jax.random.PRNGKey(3),
+        jnp.zeros((8, dim)),
+        num_warmup=200,
+        num_samples=200,
+        mesh=mesh,
+    )
+    samples = np.asarray(res.samples)
+    assert samples.shape == (8, 200, dim)
+    np.testing.assert_allclose(samples.reshape(-1, dim).mean(axis=0), [0, 0], atol=0.2)
+
+
+def test_advi_gaussian():
+    mu = np.array([2.0, -1.0])
+    var = np.array([0.5, 2.0])
+    ld = _gauss_ld(mu, np.diag(1.0 / var))
+    res = run_advi(ld, jax.random.PRNGKey(0), jnp.zeros(2), num_steps=3000)
+    np.testing.assert_allclose(np.asarray(res.mean), mu, atol=0.1)
+    np.testing.assert_allclose(np.exp(2 * np.asarray(res.log_std)), var, rtol=0.2)
+
+
+def test_smc_gaussian_evidence():
+    """Prior N(0, I), likelihood N(y; z, I) with y=0 → posterior N(0, I/2),
+    evidence = N(0; 0, 2I)."""
+    dim = 2
+    n_part = 512
+
+    def log_prior(z):
+        return -0.5 * z @ z - 0.5 * dim * np.log(2 * np.pi)
+
+    def log_lik(z):
+        return -0.5 * z @ z - 0.5 * dim * np.log(2 * np.pi)
+
+    init = jax.random.normal(jax.random.PRNGKey(0), (n_part, dim))
+    res = run_smc(log_prior, log_lik, jax.random.PRNGKey(1), init, step_size=0.4)
+    parts = np.asarray(res.particles)
+    np.testing.assert_allclose(parts.mean(axis=0), np.zeros(dim), atol=0.12)
+    np.testing.assert_allclose(parts.var(axis=0), 0.5 * np.ones(dim), rtol=0.25)
+    from scipy import stats
+
+    ref_logZ = stats.multivariate_normal(mean=np.zeros(dim), cov=2 * np.eye(dim)).logpdf(
+        np.zeros(dim)
+    )
+    np.testing.assert_allclose(float(res.log_evidence), ref_logZ, atol=0.15)
+
+
+def test_param_spec_transforms():
+    spec = ParamSpec(tau=LogTransform(), rho=LogitTransform(-1.0, 1.0))
+    z = jnp.asarray([0.3, -0.2])
+    theta = spec.constrain(z)
+    np.testing.assert_allclose(float(theta["tau"]), np.exp(0.3), rtol=1e-6)
+    assert -1 < float(theta["rho"]) < 1
+    z_back = spec.unconstrain({k: float(v) for k, v in theta.items()})
+    np.testing.assert_allclose(np.asarray(z_back), np.asarray(z), rtol=1e-6)
+
+
+def test_nuts_over_gmrf_hyperparameters(rng):
+    """End-to-end: NUTS over (tau, rho) of an AR1 model with Poisson
+    observations through the Laplace marginal — the flagship pipeline
+    (reference autodiff_mcmc tutorial, natively)."""
+    from tpu_gmrf import AR1Model, ExponentialFamily, laplace_marginal
+
+    n = 40
+    true_tau, true_rho = 1.0, 0.7
+    model = AR1Model(n)
+    x_true = np.asarray(model(tau=true_tau, rho=true_rho).sample(jax.random.PRNGKey(9)))
+    y = rng.poisson(np.exp(x_true)).astype(np.float64)
+    obs = ExponentialFamily("poisson")
+    spec = ParamSpec(tau=LogTransform(), rho=LogitTransform(-1.0, 1.0))
+
+    def loglik(theta):
+        return laplace_marginal(model, obs, y, theta)
+
+    ld = make_logdensity(loglik, spec)
+    res = run_nuts(
+        ld,
+        jax.random.PRNGKey(4),
+        jnp.zeros((2, 2)),
+        num_warmup=150,
+        num_samples=150,
+    )
+    z = np.asarray(res.samples).reshape(-1, 2)
+    taus = np.exp(z[:, 0])
+    rhos = -1 + 2 / (1 + np.exp(-z[:, 1]))
+    # loose sanity: posterior concentrates in a plausible region
+    assert 0.1 < np.median(taus) < 10.0
+    assert 0.0 < np.median(rhos) < 1.0
+    assert np.asarray(res.accept_prob).mean() > 0.5

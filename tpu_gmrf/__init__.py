@@ -58,5 +58,16 @@ from .inference import (
     linear_condition,
     marginal_loglikelihood,
 )
+from .samplers import (
+    IdentityTransform,
+    LogitTransform,
+    LogTransform,
+    ParamSpec,
+    make_logdensity,
+    run_advi,
+    run_hmc,
+    run_nuts,
+    run_smc,
+)
 
 __version__ = "0.1.0"

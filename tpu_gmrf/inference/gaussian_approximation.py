@@ -45,6 +45,9 @@ class GAOptions:
     newton_dec_tol: float = 1e-5
     adaptive_stepsize: bool = True
     max_linesearch_iter: int = 10
+    # solver for the Newton-iteration factorizations (auto: tridiagonal
+    # posteriors use the O(n) scan backend, others batched dense on MXU)
+    inner_solver: SolverSpec = SolverSpec()
 
 
 def _posterior_pair(Q_p: SparseMatrix, H: SparseMatrix):
@@ -102,7 +105,8 @@ def _newton_mode_impl(opts, Q_p, mu_p, obs_lik, x0, A):
             )
             return it + 1, alpha_shrunk, x_new, accepted | acc, alpha_next
 
-        init = (0, alpha, x_k, False, alpha)
+        # NaN merit at x_k: skip the search entirely (non-finite exit below)
+        init = (0, alpha, x_k, ~jnp.isfinite(obj_current), alpha)
         it, alpha_cur, x_new, accepted, alpha_next = jax.lax.while_loop(
             cond, body, init
         )
@@ -115,7 +119,7 @@ def _newton_mode_impl(opts, Q_p, mu_p, obs_lik, x0, A):
         H_k = _loghessian(obs_lik, x_k)
         g_l = obs_lik.loggrad(x_k)
         Q_post = _posterior_pair(Q_p, H_k)
-        factor = factorize(Q_post, SolverSpec(kind="dense"))
+        factor = factorize(Q_post, opts.inner_solver)
         neg_score = (Q_p.matvec(x_k) - h) - g_l
         step = factor.solve(neg_score)
         if A is not None:
@@ -132,6 +136,11 @@ def _newton_mode_impl(opts, Q_p, mu_p, obs_lik, x0, A):
             | (mean_change < opts.mean_change_tol)
             | (rel_change < opts.mean_change_tol)
         )
+        # Non-finite iterates (failed factorization at extreme θ, f32
+        # overflow) cannot recover — exit immediately instead of burning the
+        # remaining iterations; the NaN posterior is rejected downstream
+        # (NUTS treats NaN energy as divergence).
+        converged = converged | ~jnp.isfinite(newton_dec) | ~jnp.isfinite(mean_change)
         return x_new, alpha, it + 1, converged
 
     def newton_cond(state):
@@ -156,7 +165,7 @@ def _newton_mode_bwd(opts, res, x_bar):
     Q_p, mu_p, obs_lik, x_star, A = res
     H = _loghessian(obs_lik, x_star)
     Q_post = _posterior_pair(Q_p, H)
-    factor = factorize(Q_post, SolverSpec(kind="dense"))
+    factor = factorize(Q_post, opts.inner_solver)
     z = factor.solve(x_bar)
     if A is not None:
         At_T = factor.solve(A.T)

@@ -1,0 +1,60 @@
+"""ADVI: mean-field Gaussian variational inference on unconstrained
+hyperparameters (required by BASELINE.json; absent in the reference).
+Reparameterized ELBO with optax, multi-sample gradient estimator."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["run_advi", "ADVIResult"]
+
+
+class ADVIResult(NamedTuple):
+    mean: Any  # (dim,) variational mean (unconstrained)
+    log_std: Any  # (dim,)
+    elbo_trace: Any  # (num_steps,)
+
+    def sample(self, key, num_samples: int):
+        eps = jax.random.normal(key, (num_samples, self.mean.shape[0]), self.mean.dtype)
+        return self.mean + eps * jnp.exp(self.log_std)
+
+
+def run_advi(
+    logdensity_fn: Callable,
+    key,
+    init_position,
+    num_steps: int = 2000,
+    num_elbo_samples: int = 8,
+    learning_rate: float = 1e-2,
+) -> ADVIResult:
+    init_position = jnp.asarray(init_position)
+    dim = init_position.shape[0]
+    params = {
+        "mean": init_position,
+        "log_std": jnp.full((dim,), -1.0, init_position.dtype),
+    }
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    def neg_elbo(params, key):
+        eps = jax.random.normal(key, (num_elbo_samples, dim), init_position.dtype)
+        z = params["mean"] + eps * jnp.exp(params["log_std"])
+        lps = jax.vmap(logdensity_fn)(z)
+        entropy = jnp.sum(params["log_std"]) + 0.5 * dim * (1.0 + jnp.log(2 * jnp.pi))
+        return -(jnp.mean(lps) + entropy)
+
+    @jax.jit
+    def step(carry, key):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(neg_elbo)(params, key)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), -loss
+
+    keys = jax.random.split(key, num_steps)
+    (params, _), elbos = jax.lax.scan(step, (params, opt_state), keys)
+    return ADVIResult(params["mean"], params["log_std"], elbos)
