@@ -1,0 +1,224 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_gmrf.fem import (
+    AdvectionDiffusionSPDE,
+    FEMDiscretization,
+    MaternModel,
+    MaternSPDE,
+    create_inflated_rectangle,
+    generate_mesh,
+    interval_mesh,
+    kronecker_product_spatiotemporal_model,
+    product_matern,
+    spatial_to_spatiotemporal,
+)
+from tpu_gmrf import GMRF, linear_condition
+from tpu_gmrf.solvers import SolverSpec
+
+
+# ---- meshing ---------------------------------------------------------------
+
+
+def test_generate_mesh_covers_points(rng):
+    pts = rng.uniform(0, 1, size=(30, 2))
+    mesh = generate_mesh(pts)
+    assert mesh.n_vertices >= 30
+    assert mesh.n_elements > 0
+    # all data points are mesh vertices (first 30, possibly deduped)
+    d = FEMDiscretization(mesh)
+    E = d.evaluation_matrix(pts)
+    x = np.asarray(mesh.vertices[:, 0])  # linear function on vertices
+    interp = np.asarray(E.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(interp, pts[:, 0], atol=1e-8)
+
+
+def test_rectangle_mesh():
+    mesh = create_inflated_rectangle(0, 0, 1, 1, h=0.25, buffer=0.25)
+    assert mesh.n_elements > 0
+    coords = mesh.element_coords()
+    v1 = coords[:, 1] - coords[:, 0]
+    v2 = coords[:, 2] - coords[:, 0]
+    total_area = 0.5 * np.abs(v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]).sum()
+    np.testing.assert_allclose(total_area, 1.5 * 1.5, rtol=1e-10)
+
+
+# ---- assembly oracles ------------------------------------------------------
+
+
+def test_p1_mass_and_stiffness_2d():
+    mesh = create_inflated_rectangle(0, 0, 1, 1, h=0.2)
+    d = FEMDiscretization(mesh)
+    M = d.mass_matrix(lumped=False)
+    Ml = d.mass_matrix(lumped=True)
+    G = d.stiffness_matrix()
+    ones = jnp.ones(d.ndofs)
+    # ∫1 dΩ = area; stiffness annihilates constants
+    np.testing.assert_allclose(float(ones @ M.matvec(ones)), 1.0, rtol=1e-10)
+    np.testing.assert_allclose(float(jnp.sum(Ml.diagonal())), 1.0, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(G.matvec(ones)), 0.0, atol=1e-12)
+    # Dirichlet energy of u=x over unit square: ∫|∇x|² = 1
+    x = jnp.asarray(mesh.vertices[:, 0])
+    np.testing.assert_allclose(float(x @ G.matvec(x)), 1.0, rtol=1e-10)
+
+
+def test_p1_interval():
+    d = FEMDiscretization(interval_mesh(0, 2, 21))
+    ones = jnp.ones(21)
+    np.testing.assert_allclose(float(jnp.sum(d.mass_matrix().diagonal())), 2.0, rtol=1e-12)
+    G = d.stiffness_matrix()
+    np.testing.assert_allclose(np.asarray(G.matvec(ones)), 0.0, atol=1e-12)
+    x = jnp.asarray(d.mesh.nodes)
+    np.testing.assert_allclose(float(x @ G.matvec(x)), 2.0, rtol=1e-10)
+
+
+def test_advection_matrix():
+    mesh = create_inflated_rectangle(0, 0, 1, 1, h=0.2)
+    d = FEMDiscretization(mesh)
+    B = d.advection_matrix([1.0, 0.0])
+    # ∫ φ_i ∂x(u) for u = x: row sums of B@x ≈ ∫φ_i = lumped mass
+    x = jnp.asarray(mesh.vertices[:, 0])
+    Ml = d.mass_matrix(lumped=True)
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(Ml.diagonal()), rtol=1e-8
+    )
+
+
+# ---- Matern SPDE -----------------------------------------------------------
+
+
+def test_matern_variance_normalization():
+    """Interior marginal variance ≈ 1 at tau=1 (reference variance ratio)."""
+    mesh = create_inflated_rectangle(0, 0, 1, 1, h=0.08, buffer=0.4)
+    model = MaternModel(FEMDiscretization(mesh), smoothness=1)
+    g = model(tau=1.0, range=0.4)
+    v = np.asarray(g.var())
+    # interior nodes (away from boundary)
+    verts = mesh.vertices
+    interior = (
+        (verts[:, 0] > 0.2) & (verts[:, 0] < 0.8) & (verts[:, 1] > 0.2) & (verts[:, 1] < 0.8)
+    )
+    assert interior.sum() > 5
+    med = np.median(v[interior])
+    assert 0.7 < med < 1.3  # within discretization error of 1
+
+
+def test_matern_correlation_range():
+    """Correlation at distance = range ≈ 0.13-0.14 (Matérn defn of range)."""
+    mesh = create_inflated_rectangle(0, 0, 2, 2, h=0.08, buffer=0.5)
+    d = FEMDiscretization(mesh)
+    model = MaternModel(d, smoothness=1)
+    rng_val = 0.5
+    g = model(tau=1.0, range=rng_val)
+    Qd = np.asarray(g.Q.todense())
+    Sig = np.linalg.inv(Qd)
+    # pick node nearest center, correlate with node at distance ~range
+    verts = mesh.vertices
+    c = np.array([1.0, 1.0])
+    i0 = int(np.argmin(np.linalg.norm(verts - c, axis=1)))
+    target = c + np.array([rng_val, 0.0])
+    i1 = int(np.argmin(np.linalg.norm(verts - target, axis=1)))
+    corr = Sig[i0, i1] / np.sqrt(Sig[i0, i0] * Sig[i1, i1])
+    assert 0.05 < corr < 0.25  # ≈0.14 with discretization tolerance
+
+
+def test_matern_jit_grad_wrt_range(rng):
+    mesh = create_inflated_rectangle(0, 0, 1, 1, h=0.2, buffer=0.2)
+    model = MaternModel(FEMDiscretization(mesh), smoothness=1)
+    y_nodes = rng.normal(size=model.n)
+
+    @jax.jit
+    def nll(params):
+        g = model(tau=jnp.exp(params[0]), range=jnp.exp(params[1]))
+        return -g.logpdf(jnp.asarray(y_nodes))
+
+    g1 = np.asarray(jax.grad(nll)(jnp.asarray([0.1, -0.5])))
+    for i in range(2):
+        eps = 1e-6
+        p = np.array([0.1, -0.5])
+        pp, pm = p.copy(), p.copy()
+        pp[i] += eps
+        pm[i] -= eps
+        fd = (float(nll(jnp.asarray(pp))) - float(nll(jnp.asarray(pm)))) / (2 * eps)
+        np.testing.assert_allclose(g1[i], fd, rtol=1e-4)
+
+
+def test_matern_alpha_recursion_spd():
+    """smoothness=0 (alpha=1) and smoothness=2 (alpha=3) produce SPD Q."""
+    mesh = create_inflated_rectangle(0, 0, 1, 1, h=0.25)
+    d = FEMDiscretization(mesh)
+    for s in [0, 1, 2]:
+        Q = MaternModel(d, smoothness=s).precision(tau=1.0, range=0.5)
+        eigs = np.linalg.eigvalsh(np.asarray(Q.todense()))
+        assert eigs.min() > 0, f"smoothness {s} not SPD"
+
+
+def test_matern_from_points_quickstart(rng):
+    """README quickstart: MaternModel from scattered points + conjugate
+    point-observation posterior (BASELINE config 1)."""
+    pts = rng.uniform(0, 1, size=(12, 2))
+    model = MaternModel(pts, smoothness=1)
+    g = model(tau=1.0, range=0.3)
+    A = model.evaluation_matrix()
+    y = rng.normal(size=12)
+    post = linear_condition(g, jnp.asarray(y), Q_eps=1.0 / 0.01, A=A)
+    # posterior mean at observation points ≈ y for tiny noise
+    pred = np.asarray(A.matvec(post.mean))
+    np.testing.assert_allclose(pred, y, atol=0.1)
+    assert np.all(np.asarray(post.std()) >= 0)
+
+
+# ---- spatiotemporal --------------------------------------------------------
+
+
+def test_advection_diffusion_structure():
+    d = FEMDiscretization(interval_mesh(0, 1, 25))
+    spde = AdvectionDiffusionSPDE(d, gamma=[0.3], kappa=2.0, c=1.0, tau=1.0)
+    ts = np.linspace(0, 1, 6)
+    X = spde.discretize(ts, solver=SolverSpec(kind="dense"))
+    assert X.N_t == 6 and X.N_s == 25
+    Qd = np.asarray(X.Q.todense())
+    np.testing.assert_allclose(Qd, Qd.T, atol=1e-9)
+    eigs = np.linalg.eigvalsh(Qd)
+    assert eigs.min() > 0
+    # block tridiagonal: blocks beyond first off-diagonal are zero
+    Ns = 25
+    assert not Qd[: Ns, 2 * Ns :].any()
+    v = X.time_vars()
+    assert v.shape == (6, 25)
+    assert np.all(np.asarray(v) > 0)
+
+
+def test_advection_diffusion_transport():
+    """Conditioning on an initial bump: posterior mean at later times moves
+    in the advection direction."""
+    # advection-dominated regime: effective velocity γ/c = 0.4, weak
+    # diffusion 1/c, so the bump visibly transports before damping
+    n = 41
+    d = FEMDiscretization(interval_mesh(0, 1, n))
+    spde = AdvectionDiffusionSPDE(d, gamma=[40.0], kappa=0.5, c=100.0, tau=0.05)
+    ts = np.linspace(0, 0.5, 6)
+    X = spde.discretize(ts, solver=SolverSpec(kind="dense"))
+    nodes = d.mesh.nodes
+    bump = np.exp(-((nodes - 0.3) ** 2) / 0.01)
+    A0 = spatial_to_spatiotemporal(d.node_selection_matrix(np.arange(n)), 0, 6)
+    post = linear_condition(X.gmrf, jnp.asarray(bump), Q_eps=1e5, A=A0)
+    means = np.asarray(post.mean).reshape(6, n)
+    peak_start = nodes[np.argmax(means[0])]
+    peak_end = nodes[np.argmax(means[-1])]
+    np.testing.assert_allclose(peak_start, 0.3, atol=0.05)
+    assert peak_end > peak_start + 0.08  # transported right ≈ 0.2
+
+
+def test_kronecker_product_model():
+    d = FEMDiscretization(interval_mesh(0, 1, 11))
+    sp_spde = MaternSPDE(d, smoothness=1)
+    X = product_matern(1, 1.0, 5, sp_spde, 2.0, solver=SolverSpec(kind="dense"))
+    assert X.N_t == 5 and X.N_s == 11
+    Qd = np.asarray(X.Q.todense())
+    np.testing.assert_allclose(Qd, Qd.T, atol=1e-8)
+    assert np.linalg.eigvalsh(Qd).min() > 0
+    x = X.time_rands(jax.random.PRNGKey(0))
+    assert x.shape == (5, 11)

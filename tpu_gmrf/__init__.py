@@ -58,6 +58,28 @@ from .inference import (
     linear_condition,
     marginal_loglikelihood,
 )
+from .inference.marginals import (
+    conditional_predictive_ordinates,
+    linear_predictor_marginals,
+    waic,
+)
+from .solvers.rbmc import rbmc_var
+from .solvers.cg import cg_solve
+from .fem import (
+    AdvectionDiffusionSPDE,
+    FEMDiscretization,
+    IntervalMesh,
+    MaternModel,
+    MaternSPDE,
+    SpatiotemporalGMRF,
+    TriangleMesh,
+    create_inflated_rectangle,
+    generate_mesh,
+    interval_mesh,
+    kronecker_product_spatiotemporal_model,
+    product_matern,
+    spatial_to_spatiotemporal,
+)
 from .samplers import (
     IdentityTransform,
     LogitTransform,

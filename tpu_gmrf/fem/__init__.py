@@ -1,0 +1,37 @@
+from .mesh import (
+    TriangleMesh,
+    IntervalMesh,
+    generate_mesh,
+    create_inflated_rectangle,
+    interval_mesh,
+)
+from .discretization import FEMDiscretization, assemble_coo
+from .spde import MaternSPDE, MaternModel, range_to_kappa, smoothness_to_nu
+from .spatiotemporal import (
+    SpatiotemporalGMRF,
+    AdvectionDiffusionSPDE,
+    kronecker_product_spatiotemporal_model,
+    product_matern,
+    spatial_to_spatiotemporal,
+    sp_block_tridiag,
+)
+
+__all__ = [
+    "TriangleMesh",
+    "IntervalMesh",
+    "generate_mesh",
+    "create_inflated_rectangle",
+    "interval_mesh",
+    "FEMDiscretization",
+    "assemble_coo",
+    "MaternSPDE",
+    "MaternModel",
+    "range_to_kappa",
+    "smoothness_to_nu",
+    "SpatiotemporalGMRF",
+    "AdvectionDiffusionSPDE",
+    "kronecker_product_spatiotemporal_model",
+    "product_matern",
+    "spatial_to_spatiotemporal",
+    "sp_block_tridiag",
+]

@@ -2,6 +2,7 @@ from .gaussian_approximation import gaussian_approximation, GAOptions
 from .linear_condition import linear_condition
 from .marginal import marginal_loglikelihood, laplace_marginal
 from .joint import joint_gmrf, sp_bmat
+from .marginals import linear_predictor_marginals, waic, conditional_predictive_ordinates
 
 __all__ = [
     "gaussian_approximation",
@@ -11,4 +12,7 @@ __all__ = [
     "laplace_marginal",
     "joint_gmrf",
     "sp_bmat",
+    "linear_predictor_marginals",
+    "waic",
+    "conditional_predictive_ordinates",
 ]

@@ -1,6 +1,8 @@
 from .base import SolverSpec, factorize
 from .dense import DenseFactor, dense_factorize
 from .tridiag import TridiagFactor, tridiag_factorize
+from .rbmc import rbmc_var
+from .cg import cg_solve, jacobi_preconditioner, block_jacobi_preconditioner, temporal_block_gauss_seidel_preconditioner
 
 __all__ = [
     "SolverSpec",
@@ -9,4 +11,9 @@ __all__ = [
     "dense_factorize",
     "TridiagFactor",
     "tridiag_factorize",
+    "rbmc_var",
+    "cg_solve",
+    "jacobi_preconditioner",
+    "block_jacobi_preconditioner",
+    "temporal_block_gauss_seidel_preconditioner",
 ]

@@ -1,4 +1,4 @@
-"""Dense Cholesky factorization backend.
+"""Dense Cholesky factorization backend with Jacobi equilibration.
 
 TPU-native rationale: for n up to a few thousand, a dense (optionally
 batched/vmapped) Cholesky on the MXU beats any sparse scalar recursion by
@@ -6,6 +6,12 @@ orders of magnitude — batched `jnp.linalg.cholesky` over 64 NUTS chains is
 one fat MXU workload. This backend therefore replaces the reference's
 CHOLMOD path (reference: src/workspace/backend.jl:50-102) for
 moderate-dimension models; large meshes use the banded/supernodal backends.
+
+f32 robustness: the matrix is symmetrically prescaled by its diagonal
+(Q' = S·Q·S, S = diag(q_ii)^{-1/2}) before factorization. Badly scaled
+precisions (e.g. implicit-Euler space-time joints whose blocks span 10+
+orders of magnitude) then factor stably in f32 on TPU; logdet/solves are
+corrected exactly. Effective factor: Q = L Lᵀ with L = S⁻¹L'.
 
 Fully differentiable through JAX's builtin cholesky/triangular-solve rules.
 """
@@ -28,45 +34,54 @@ __all__ = ["DenseFactor", "dense_factorize"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseFactor:
-    """Lower Cholesky factor L with Q = L Lᵀ."""
+    """Equilibrated Cholesky: Q = (S⁻¹L')(S⁻¹L')ᵀ with L' = chol(S·Q·S)."""
 
-    L: Any  # (n, n)
+    L: Any  # (n, n) lower Cholesky of the scaled matrix
+    s: Any  # (n,) scaling  S = diag(s)
 
     @property
     def n(self):
         return self.L.shape[-1]
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        y = jsl.solve_triangular(self.L, b, lower=True)
-        return jsl.solve_triangular(self.L, y, lower=True, trans=1)
+        sb = self.s[:, None] * b if b.ndim > 1 else self.s * b
+        y = jsl.solve_triangular(self.L, sb, lower=True)
+        z = jsl.solve_triangular(self.L, y, lower=True, trans=1)
+        return self.s[:, None] * z if b.ndim > 1 else self.s * z
 
     def forward_solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        """L x = b (whitening of residuals)."""
-        return jsl.solve_triangular(self.L, b, lower=True)
+        """L x = b with L = S⁻¹L' (whitening of residuals)."""
+        sb = self.s[:, None] * b if b.ndim > 1 else self.s * b
+        return jsl.solve_triangular(self.L, sb, lower=True)
 
     def backward_solve(self, z: jnp.ndarray) -> jnp.ndarray:
         """Lᵀ x = z — maps N(0, I) noise to N(0, Q⁻¹) samples
         (reference: src/solvers/backward_solve.jl:35)."""
-        return jsl.solve_triangular(self.L, z, lower=True, trans=1)
+        y = jsl.solve_triangular(self.L, z, lower=True, trans=1)
+        return self.s[:, None] * y if z.ndim > 1 else self.s * y
 
     def sqrt_matvec(self, z: jnp.ndarray) -> jnp.ndarray:
-        """L z — maps N(0, I) to N(0, Q)."""
-        return self.L @ z
+        """L z with L = S⁻¹L' — maps N(0, I) to N(0, Q)."""
+        y = self.L @ z
+        return y / (self.s[:, None] if z.ndim > 1 else self.s)
 
     def logdet(self) -> jnp.ndarray:
-        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.L, axis1=-2, axis2=-1)), axis=-1)
+        return 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(self.L, axis1=-2, axis2=-1)), axis=-1
+        ) - 2.0 * jnp.sum(jnp.log(self.s), axis=-1)
 
     def _inv(self) -> jnp.ndarray:
         Linv = jsl.solve_triangular(
             self.L, jnp.eye(self.n, dtype=self.L.dtype), lower=True
         )
-        return Linv.T @ Linv
+        Zp = Linv.T @ Linv
+        return self.s[:, None] * Zp * self.s[None, :]
 
     def selinv_diag(self) -> jnp.ndarray:
         Linv = jsl.solve_triangular(
             self.L, jnp.eye(self.n, dtype=self.L.dtype), lower=True
         )
-        return jnp.sum(Linv * Linv, axis=0)
+        return self.s**2 * jnp.sum(Linv * Linv, axis=0)
 
     def selinv(self, pattern: SparsePattern) -> SparseMatrix:
         """Entries of Q⁻¹ on `pattern` (used for ∂logdet(Q)/∂Q)."""
@@ -82,4 +97,7 @@ class DenseFactor:
 
 def dense_factorize(Q: SparseMatrix | jnp.ndarray) -> DenseFactor:
     A = Q.todense() if isinstance(Q, SparseMatrix) else Q
-    return DenseFactor(jnp.linalg.cholesky(A))
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jnp.where(d > 0, jax.lax.rsqrt(jnp.where(d > 0, d, 1.0)), 1.0)
+    A_scaled = s[..., :, None] * A * s[..., None, :]
+    return DenseFactor(jnp.linalg.cholesky(A_scaled), s)
