@@ -37,6 +37,12 @@ from .models import (
     SeparableModel,
     generate_car_model,
 )
+from .models.nongaussian import (
+    AutoDiffLatentPrior,
+    FactorGroup,
+    LatentPrior,
+    StructuredLatentPrior,
+)
 from .observations import (
     AutoDiffObservationModel,
     BinomialObservations,

@@ -195,6 +195,112 @@ def _newton_mode_bwd(opts, res, x_bar):
 _newton_mode.defvjp(_newton_mode_fwd, _newton_mode_bwd)
 
 
+# ---- non-Gaussian latent priors (iterated re-linearization, TMB-style) -----
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _newton_mode_nl(opts: GAOptions, prior, obs_lik, x0):
+    return _newton_mode_nl_impl(opts, prior, obs_lik, x0)
+
+
+def _newton_mode_nl_impl(opts, prior, obs_lik, x0):
+    """Newton with per-iterate prior re-linearization
+    (reference `_prior_local` on the LatentPrior adapter,
+    src/latent_models/local_quadratic.jl:100-140): the line-search merit
+    uses the EXACT prior log-density."""
+
+    def merit(x):
+        return -prior.log_density(x) - obs_lik.loglik(x)
+
+    def line_search(x_k, step, alpha):
+        obj_current = merit(x_k)
+        inf_step = jnp.max(jnp.abs(step))
+
+        def cond(s):
+            it, _, _, accepted, _ = s
+            return (~accepted) & (it < opts.max_linesearch_iter)
+
+        def body(s):
+            it, alpha, x_new, accepted, alpha_next = s
+            candidate = x_k - alpha * step
+            good = merit(candidate) <= obj_current
+            alpha_shrunk = alpha * 0.1
+            tiny = alpha_shrunk * inf_step < opts.newton_dec_tol / 1000.0
+            acc = good | tiny
+            x_new = jnp.where(acc, candidate, x_new)
+            alpha_next = jnp.where(
+                good, jnp.sqrt(alpha), jnp.where(tiny, alpha_shrunk, alpha_next)
+            )
+            return it + 1, alpha_shrunk, x_new, accepted | acc, alpha_next
+
+        init = (0, alpha, x_k, ~jnp.isfinite(obj_current), alpha)
+        it, alpha_cur, x_new, accepted, alpha_next = jax.lax.while_loop(
+            cond, body, init
+        )
+        x_new = jnp.where(accepted, x_new, x_k - alpha_cur * step)
+        return jnp.where(accepted, x_new, x_k - alpha_cur * step), jnp.where(
+            accepted, alpha_next, alpha_cur
+        )
+
+    def newton_body(state):
+        x_k, alpha, it, _ = state
+        Q_p, h = prior.local_quadratic(x_k)
+        H_k = _loghessian(obs_lik, x_k)
+        g_l = obs_lik.loggrad(x_k)
+        Q_post = _posterior_pair(Q_p, H_k)
+        factor = factorize(Q_post, opts.inner_solver)
+        neg_score = (Q_p.matvec(x_k) - h) - g_l
+        step = factor.solve(neg_score)
+        if opts.adaptive_stepsize:
+            x_new, alpha = line_search(x_k, step, alpha)
+        else:
+            x_new = x_k - step
+        newton_dec = neg_score @ step
+        mean_change = jnp.linalg.norm(x_new - x_k)
+        rel_change = mean_change / jnp.maximum(jnp.linalg.norm(x_k), 1e-10)
+        converged = (
+            (newton_dec < opts.newton_dec_tol)
+            | (mean_change < opts.mean_change_tol)
+            | (rel_change < opts.mean_change_tol)
+        )
+        converged = converged | ~jnp.isfinite(newton_dec) | ~jnp.isfinite(mean_change)
+        return x_new, alpha, it + 1, converged
+
+    def newton_cond(state):
+        _, _, it, converged = state
+        return (~converged) & (it < opts.max_iter)
+
+    x0 = jnp.asarray(x0)
+    init = (x0, jnp.ones((), x0.dtype), 0, jnp.zeros((), bool))
+    x_star, _, _, _ = jax.lax.while_loop(newton_cond, newton_body, init)
+    return x_star
+
+
+def _newton_mode_nl_fwd(opts, prior, obs_lik, x0):
+    x_star = _newton_mode_nl_impl(opts, prior, obs_lik, x0)
+    return x_star, (prior, obs_lik, x_star)
+
+
+def _newton_mode_nl_bwd(opts, res, x_bar):
+    prior, obs_lik, x_star = res
+    Q_p, _ = prior.local_quadratic(x_star)
+    H = _loghessian(obs_lik, x_star)
+    Q_post = _posterior_pair(Q_p, H)
+    factor = factorize(Q_post, opts.inner_solver)
+    lam = factor.solve(x_bar)
+
+    def score(prior_, obs_lik_):
+        return -jax.grad(prior_.log_density)(x_star) - obs_lik_.loggrad(x_star)
+
+    _, vjp = jax.vjp(score, prior, obs_lik)
+    gp, gl = vjp(lam)
+    neg = lambda t: jax.tree_util.tree_map(lambda v: -v, t)
+    return neg(gp), neg(gl), jax.tree_util.tree_map(jnp.zeros_like, x_star)
+
+
+_newton_mode_nl.defvjp(_newton_mode_nl_fwd, _newton_mode_nl_bwd)
+
+
 def _is_conjugate_normal(obs_lik) -> bool:
     return (
         isinstance(obs_lik, EFLikelihood)
@@ -211,9 +317,22 @@ def gaussian_approximation(
     options: GAOptions = GAOptions(),
     solver: SolverSpec | None = None,
 ):
-    """Gaussian (Laplace) approximation to p(x | y) for a GMRF/ConstrainedGMRF
-    prior and any observation likelihood. Fully jittable; reverse-mode
-    differentiable w.r.t. prior and likelihood hyperparameters via IFT."""
+    """Gaussian (Laplace) approximation to p(x | y) for a GMRF /
+    ConstrainedGMRF / non-Gaussian LatentPrior prior and any observation
+    likelihood. Fully jittable; reverse-mode differentiable w.r.t. prior and
+    likelihood hyperparameters via IFT."""
+    from ..models.nongaussian import LatentPrior
+
+    if isinstance(prior, LatentPrior):
+        solver = solver if solver is not None else SolverSpec()
+        if x0 is None:
+            x0 = jnp.zeros(prior.n)
+        x_star = _newton_mode_nl(options, prior, obs_lik, x0)
+        Q_p, _ = prior.local_quadratic(x_star)
+        H = _loghessian(obs_lik, x_star)
+        Q_post = _posterior_pair(Q_p, H)
+        return GMRF.from_precision(x_star, Q_post, solver)
+
     constrained = isinstance(prior, ConstrainedGMRF)
     base = prior.base if constrained else prior
     A = prior.A if constrained else None

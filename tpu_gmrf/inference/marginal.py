@@ -19,10 +19,17 @@ __all__ = ["marginal_loglikelihood", "laplace_marginal"]
 
 def marginal_loglikelihood(prior, obs_lik: ObservationLikelihood, posterior=None, options: GAOptions = GAOptions()):
     """Laplace log p(y | θ) given a materialized prior GMRF and likelihood."""
+    from ..models.nongaussian import LatentPrior
+
     if posterior is None:
         posterior = gaussian_approximation(prior, obs_lik, options=options)
-    x_star = posterior.mean if not callable(posterior.mean) else posterior.mean
-    return prior.logpdf(x_star) + obs_lik.loglik(x_star) - posterior.logpdf(x_star)
+    x_star = posterior.mean
+    prior_lp = (
+        prior.log_density(x_star)
+        if isinstance(prior, LatentPrior)
+        else prior.logpdf(x_star)
+    )
+    return prior_lp + obs_lik.loglik(x_star) - posterior.logpdf(x_star)
 
 
 def laplace_marginal(

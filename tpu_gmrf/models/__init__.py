@@ -6,6 +6,7 @@ from .besag import BesagModel, BYM2Model
 from .combined import CombinedModel
 from .separable import SeparableModel
 from .car import CARModel, generate_car_model
+from .nongaussian import LatentPrior, AutoDiffLatentPrior, StructuredLatentPrior, FactorGroup
 
 __all__ = [
     "LatentModel",
@@ -23,4 +24,8 @@ __all__ = [
     "SeparableModel",
     "CARModel",
     "generate_car_model",
+    "LatentPrior",
+    "AutoDiffLatentPrior",
+    "StructuredLatentPrior",
+    "FactorGroup",
 ]
