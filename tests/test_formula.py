@@ -1,0 +1,139 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_gmrf import gaussian_approximation, laplace_marginal
+from tpu_gmrf.formula import build_formula_components, predict_cols
+
+
+def _grid_W(nx, ny):
+    import scipy.sparse as sp
+
+    n = nx * ny
+    rows, cols = [], []
+    for i in range(nx):
+        for j in range(ny):
+            k = i * ny + j
+            if i + 1 < nx:
+                rows += [k, k + ny]
+                cols += [k + ny, k]
+            if j + 1 < ny:
+                rows += [k, k + 1]
+                cols += [k + 1, k]
+    return sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n)).tocsr()
+
+
+def test_string_formula_iid_rw(rng):
+    n = 60
+    group = rng.integers(0, 5, size=n)
+    time = rng.integers(0, 10, size=n)
+    x = rng.normal(size=n)
+    y = rng.normal(size=n) + x * 0.5
+    data = {"y": y, "x": x, "group": group, "time": time}
+    comps = build_formula_components(
+        "y ~ 1 + x + IID(group) + RW1(time)", data, family="normal"
+    )
+    assert comps.meta["n_random"] == 2
+    assert comps.meta["n_fixed"] == 2  # intercept + x
+    assert comps.combined_model.n == 5 + 10 + 2
+    assert comps.A.shape == (n, 17)
+    assert comps.hyperparameters == ("tau_iid", "tau_rw1")
+    # end-to-end fit
+    lik = comps.obs_model(comps.y, sigma=1.0)
+    prior = comps.combined_model(tau_iid=1.0, tau_rw1=1.0)
+    post = gaussian_approximation(prior, lik)
+    assert np.all(np.isfinite(np.asarray(post.mean)))
+
+
+def test_formula_besag_poisson_exposure(rng):
+    """Scotland-lip-cancer shape: Poisson + exposure + Besag + intercept
+    (reference bym_scotland tutorial)."""
+    W = _grid_W(4, 4)
+    n_obs = 48
+    region = rng.integers(0, 16, size=n_obs)
+    E = rng.uniform(0.5, 2.0, size=n_obs)
+    y = rng.poisson(E * 1.5)
+    data = {"y": y, "region": region, "E": E}
+    comps = build_formula_components(
+        "y ~ 1 + Besag(region, W)",
+        data,
+        family="poisson",
+        exposure="E",
+        context={"W": W},
+    )
+    lik = comps.obs_model(comps.y)
+    prior = comps.combined_model(tau_besag=1.0)
+    post = gaussian_approximation(prior, lik)
+    ml = laplace_marginal(
+        comps.combined_model,
+        comps.obs_model,
+        comps.y,
+        {"tau_besag": 1.0},
+    )
+    assert np.isfinite(float(ml))
+    # gradient flows through the formula-built model
+    g = jax.grad(
+        lambda lt: laplace_marginal(
+            comps.combined_model,
+            comps.obs_model,
+            comps.y,
+            {"tau_besag": jnp.exp(lt)},
+        )
+    )(jnp.asarray(0.0))
+    assert np.isfinite(float(g))
+
+
+def test_formula_bym2(rng):
+    W = _grid_W(3, 3)
+    n_obs = 27
+    region = rng.integers(0, 9, size=n_obs)
+    y = rng.poisson(2.0, size=n_obs)
+    data = {"y": y, "region": region}
+    comps = build_formula_components(
+        "y ~ BYM2(region, W)", data, family="poisson", context={"W": W}
+    )
+    assert comps.combined_model.n == 18
+    A = np.asarray(comps.A.todense())
+    # each observation hits u*_r and v_r
+    for i in range(n_obs):
+        nz = np.nonzero(A[i])[0]
+        assert len(nz) == 2
+        assert nz[1] - nz[0] == 9
+    prior = comps.combined_model(tau_bym2=1.0, phi_bym2=0.5)
+    lik = comps.obs_model(comps.y)
+    post = gaussian_approximation(prior, lik)
+    assert np.all(np.isfinite(np.asarray(post.mean)))
+
+
+def test_formula_separable(rng):
+    from tpu_gmrf.formula import IID, RW1, Separable
+
+    n = 40
+    g = rng.integers(0, 3, size=n)
+    t = rng.integers(0, 4, size=n)
+    y = rng.normal(size=n)
+    data = {"y": y, "g": g, "t": t}
+    comps = build_formula_components(
+        [Separable(RW1("t"), IID("g"))], data, family="normal"
+    )
+    assert comps.combined_model.n == 12
+    A = np.asarray(comps.A.todense())
+    for i in range(n):
+        nz = np.nonzero(A[i])[0]
+        assert len(nz) == 1
+        assert nz[0] == t[i] * 3 + g[i]
+
+
+def test_predict_cols(rng):
+    n = 30
+    group = rng.integers(0, 4, size=n)
+    y = rng.normal(size=n)
+    comps = build_formula_components(
+        "y ~ IID(group)", {"y": y, "group": group}, family="normal"
+    )
+    newdata = {"group": np.array([0, 2, 3])}
+    A_new = predict_cols(comps, newdata)
+    Ad = np.asarray(A_new.todense())
+    assert Ad.shape == (3, 4)
+    np.testing.assert_allclose(Ad[0], [1, 0, 0, 0])
+    np.testing.assert_allclose(Ad[1], [0, 0, 1, 0])

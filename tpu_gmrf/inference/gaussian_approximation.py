@@ -70,6 +70,18 @@ def _project_step(step, factor, A, L_c_builder=None):
     return step - At_T @ jsl.cho_solve((L_c, True), A @ step), (At_T, L_c)
 
 
+
+
+def _neg_cotangent(t):
+    """Negate a cotangent tree, passing float0 leaves (integer inputs like
+    observation counts) through untouched."""
+    from jax.dtypes import float0
+
+    return jax.tree_util.tree_map(
+        lambda v: v if getattr(v, "dtype", None) == float0 else -v, t
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _newton_mode(opts: GAOptions, Q_p, mu_p, obs_lik, x0, A):
     return _newton_mode_impl(opts, Q_p, mu_p, obs_lik, x0, A)
@@ -180,7 +192,7 @@ def _newton_mode_bwd(opts, res, x_bar):
 
     _, vjp = jax.vjp(score, Q_p, mu_p, obs_lik)
     gQ, gmu, glik = vjp(lam)
-    neg = lambda t: jax.tree_util.tree_map(lambda v: -v, t)
+    neg = _neg_cotangent
     # x0 only seeds the iteration (and fixes the constraint offset A·x0 = e;
     # the e-sensitivity flows through x0 via A·x* = A·x0).
     if A is not None:
@@ -294,7 +306,7 @@ def _newton_mode_nl_bwd(opts, res, x_bar):
 
     _, vjp = jax.vjp(score, prior, obs_lik)
     gp, gl = vjp(lam)
-    neg = lambda t: jax.tree_util.tree_map(lambda v: -v, t)
+    neg = _neg_cotangent
     return neg(gp), neg(gl), jax.tree_util.tree_map(jnp.zeros_like, x_star)
 
 
