@@ -1,6 +1,7 @@
 from .base import SolverSpec, factorize
 from .dense import DenseFactor, dense_factorize
 from .tridiag import TridiagFactor, tridiag_factorize
+from .banded import BandedFactor, banded_factorize, banded_plan
 from .rbmc import rbmc_var
 from .cg import cg_solve, jacobi_preconditioner, block_jacobi_preconditioner, temporal_block_gauss_seidel_preconditioner
 
@@ -11,6 +12,9 @@ __all__ = [
     "dense_factorize",
     "TridiagFactor",
     "tridiag_factorize",
+    "BandedFactor",
+    "banded_factorize",
+    "banded_plan",
     "rbmc_var",
     "cg_solve",
     "jacobi_preconditioner",

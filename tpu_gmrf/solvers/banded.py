@@ -1,14 +1,299 @@
-"""Blocked banded Cholesky backend (large-mesh path) — placeholder.
+"""Blocked banded Cholesky backend — the large-mesh (n ≫ 4096) path.
 
-Implemented in a later milestone: RCM-permuted banded storage + blocked
-Cholesky (`lax.scan` over block columns with dense MXU panel ops) and a
-blocked Takahashi recursion for the selected inverse.
+TPU-native design: the precision pattern is RCM-permuted on the host to
+bandwidth b (symbolic, cached per pattern); choosing block size s ≥ b makes
+the permuted matrix *block-tridiagonal* with s×s dense blocks, so the
+numeric factorization is a `lax.scan` of dense MXU operations:
+
+  L₁ = chol(D₁);  Mₖ = Eₖ Lₖ⁻ᵀ;  Lₖ₊₁ = chol(Dₖ₊₁ − Mₖ Mₖᵀ)
+
+Solves are block forward/backward substitution scans; the selected inverse
+uses the block Takahashi recursion
+
+  Σ_K,K = L_K⁻ᵀL_K⁻¹
+  X = Mₖ Lₖ⁻¹;  Σₖ₊₁,ₖ = −Σₖ₊₁,ₖ₊₁X;  Σₖ,ₖ = Lₖ⁻ᵀLₖ⁻¹ + XᵀΣₖ₊₁,ₖ₊₁X
+
+(derivation from Σ·L = L⁻ᵀ column-block identities). This replaces the
+reference's CHOLMOD supernodal factorization + SelectedInversion Takahashi
+(reference src/workspace/backend.jl:24-182, src/solvers/selinv.jl:70-138)
+with fixed-shape batched dense kernels — the TPU equivalent of supernodes.
 """
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Any
 
-def banded_factorize(Q, block: int = 256):  # pragma: no cover
-    raise NotImplementedError(
-        "banded backend lands in a later milestone; use SolverSpec(kind='dense')"
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from ..sparse.matrix import SparseMatrix
+from ..sparse.pattern import SparsePattern
+
+__all__ = ["BandedFactor", "banded_factorize", "banded_plan"]
+
+_PLAN_CACHE: dict = {}
+
+
+def _rcm_and_bandwidth(pattern: SparsePattern):
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    S = pattern.to_scipy_bool()
+    S = (S + S.T).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(S, symmetric_mode=True))
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(len(perm))
+    pr = inv_perm[pattern.rows]
+    pc = inv_perm[pattern.cols]
+    bw = int(np.max(np.abs(pr.astype(np.int64) - pc))) if pattern.nnz else 0
+    return perm, inv_perm, pr, pc, bw
+
+
+def banded_plan(pattern: SparsePattern, block: int | None = None):
+    """Host symbolic plan: permutation + scatter maps into block-tridiag
+    storage (D: (K, s, s) diagonal blocks, E: (K-1, s, s) sub blocks)."""
+    key = (pattern, block)
+    plan = _PLAN_CACHE.get(key)
+    if plan is not None:
+        return plan
+    n = pattern.shape[0]
+    perm, inv_perm, pr, pc, bw = _rcm_and_bandwidth(pattern)
+    s = max(bw, 1)
+    if block is not None:
+        s = -(-s // block) * block
+    else:
+        mult = 8 if s < 64 else 128  # VPU/MXU tile alignment
+        s = -(-s // mult) * mult
+    K = -(-n // s)
+    npad = K * s
+    # scatter: for each entry keep LOWER (pr >= pc) into D or E
+    lower = pr >= pc
+    plr, plc = pr[lower].astype(np.int64), pc[lower].astype(np.int64)
+    data_idx = np.nonzero(lower)[0]
+    bk_r, bk_c = plr // s, plc // s
+    same = bk_r == bk_c
+    sub = bk_r == bk_c + 1
+    if not np.all(same | sub):
+        raise ValueError(
+            f"bandwidth {bw} exceeds block structure (block {s}); increase block"
+        )
+    # D scatter (symmetric fill: also mirror off-diagonal within block)
+    d_sel = data_idx[same]
+    d_blk = bk_r[same]
+    d_r = plr[same] - d_blk * s
+    d_c = plc[same] - d_blk * s
+    offdiag = d_r != d_c
+    d_sel_m = d_sel[offdiag]
+    d_blk_m = d_blk[offdiag]
+    d_r_m = d_c[offdiag]
+    d_c_m = d_r[offdiag]
+    e_sel = data_idx[sub]
+    e_blk = bk_c[sub]
+    e_r = plr[sub] - (e_blk + 1) * s
+    e_c = plc[sub] - e_blk * s
+    plan = dict(
+        n=n,
+        s=s,
+        K=K,
+        npad=npad,
+        perm=perm,
+        inv_perm=inv_perm,
+        d_idx=(np.concatenate([d_blk, d_blk_m]), np.concatenate([d_r, d_r_m]), np.concatenate([d_c, d_c_m]), np.concatenate([d_sel, d_sel_m])),
+        e_idx=(e_blk, e_r, e_c, e_sel),
+        pad_diag=np.arange(n, npad),
     )
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedFactor:
+    """Block-tridiagonal Cholesky: Lk (K, s, s) lower, Mk (K-1, s, s)."""
+
+    Lk: Any
+    Mk: Any
+    meta: Any = dataclasses.field(metadata=dict(static=True))  # hashable plan token
+
+    @property
+    def plan(self):
+        return _PLAN_CACHE[self.meta]
+
+    def _perm_pad(self, b):
+        plan = self.plan
+        out = jnp.zeros((plan["npad"],) + b.shape[1:], b.dtype)
+        return out.at[jnp.asarray(plan["inv_perm"])].set(b[: plan["n"]] if b.shape[0] > plan["n"] else b)
+
+    def _unperm(self, x):
+        plan = self.plan
+        return x[jnp.asarray(plan["inv_perm"])]
+
+    def forward_solve_blocks(self, bb):
+        """L y = b over blocks; bb: (K, s, ...)."""
+        Lk, Mk = self.Lk, self.Mk
+        K, s = Lk.shape[0], Lk.shape[1]
+
+        def step(y_prev, inp):
+            Lk_k, Mk_prev, b_k = inp
+            rhs = b_k - Mk_prev @ y_prev
+            y_k = jsl.solve_triangular(Lk_k, rhs, lower=True)
+            return y_k, y_k
+
+        Mk_pad = jnp.concatenate([jnp.zeros_like(Mk[:1]), Mk])
+        y0 = jnp.zeros_like(bb[0])
+        _, ys = jax.lax.scan(step, y0, (Lk, Mk_pad, bb))
+        return ys
+
+    def backward_solve_blocks(self, zb):
+        """Lᵀ x = z over blocks (reverse scan)."""
+        Lk, Mk = self.Lk, self.Mk
+
+        def step(x_next, inp):
+            Lk_k, Mk_k, z_k = inp
+            rhs = z_k - Mk_k.T @ x_next
+            x_k = jsl.solve_triangular(Lk_k, rhs, lower=True, trans=1)
+            return x_k, x_k
+
+        Mk_pad = jnp.concatenate([Mk, jnp.zeros_like(Mk[:1])])
+        x0 = jnp.zeros_like(zb[0])
+        _, xs = jax.lax.scan(step, x0, (Lk, Mk_pad, zb), reverse=True)
+        return xs
+
+    def _to_blocks(self, b):
+        plan = self.plan
+        s = plan["s"]
+        bp = self._perm_pad(b)
+        if b.ndim == 1:
+            return bp.reshape(plan["K"], s, 1)
+        return bp.reshape(plan["K"], s, b.shape[1])
+
+    def _from_blocks(self, xb, ndim):
+        plan = self.plan
+        flat = xb.reshape(plan["npad"], -1)
+        out = flat[jnp.asarray(plan["inv_perm"])]
+        return out[:, 0] if ndim == 1 else out
+
+    def solve(self, b):
+        xb = self.backward_solve_blocks(self.forward_solve_blocks(self._to_blocks(b)))
+        return self._from_blocks(xb, b.ndim)
+
+    def forward_solve(self, b):
+        return self._from_blocks(self.forward_solve_blocks(self._to_blocks(b)), b.ndim)
+
+    def backward_solve(self, z):
+        """Note: operates in the permuted basis via full pipeline — for
+        sampling x = Lᵀ⁻¹z the permutation of z is immaterial (isotropic)."""
+        xb = self.backward_solve_blocks(self._to_blocks(z))
+        return self._from_blocks(xb, z.ndim)
+
+    def logdet(self):
+        diag = jnp.diagonal(self.Lk, axis1=-2, axis2=-1)
+        return 2.0 * jnp.sum(jnp.log(diag))
+
+    def _sigma_blocks(self):
+        """Block Takahashi: returns (Σ_diag (K, s, s), Σ_sub (K-1, s, s))."""
+        Lk, Mk = self.Lk, self.Mk
+        K, s = Lk.shape[0], Lk.shape[1]
+        eye = jnp.eye(s, dtype=Lk.dtype)
+
+        Linvs = jax.vmap(lambda L: jsl.solve_triangular(L, eye, lower=True))(Lk)
+        A = jax.vmap(lambda L, Li: Li.T @ Li)(Lk, Linvs)  # Lk^{-T}Lk^{-1}
+
+        def step(sigma_next, inp):
+            A_k, Linv_k, M_k = inp
+            X = M_k @ Linv_k  # (s, s)
+            sig_sub = -sigma_next @ X
+            sig_diag = A_k + X.T @ (sigma_next @ X)
+            return sig_diag, (sig_diag, sig_sub)
+
+        sigma_K = A[-1]
+        _, (sig_diags, sig_subs) = jax.lax.scan(
+            step, sigma_K, (A[:-1], Linvs[:-1], Mk), reverse=True
+        )
+        sig_diags = jnp.concatenate([sig_diags, sigma_K[None]])
+        return sig_diags, sig_subs
+
+    def selinv_diag(self):
+        plan = self.plan
+        sig_diags, _ = self._sigma_blocks()
+        d = jnp.diagonal(sig_diags, axis1=-2, axis2=-1).reshape(-1)[: plan["npad"]]
+        return d[jnp.asarray(plan["inv_perm"])]
+
+    def selinv(self, pattern: SparsePattern) -> SparseMatrix:
+        """Entries of Q⁻¹ on `pattern` (pattern must lie within the block-
+        tridiagonal envelope of the permuted ordering)."""
+        plan = self.plan
+        s = plan["s"]
+        sig_diags, sig_subs = self._sigma_blocks()
+        inv_perm = plan["inv_perm"]
+        pr = inv_perm[pattern.rows].astype(np.int64)
+        pc = inv_perm[pattern.cols].astype(np.int64)
+        # normalize to lower triangle (Σ symmetric)
+        lo = np.maximum(pr, pc)
+        hi = np.minimum(pr, pc)
+        bk_r, bk_c = lo // s, hi // s
+        same = bk_r == bk_c
+        sub = bk_r == bk_c + 1
+        if not np.all(same | sub):
+            raise ValueError("pattern outside block-tridiagonal envelope")
+        vals = jnp.zeros(pattern.nnz, self.Lk.dtype)
+        idx_same = np.nonzero(same)[0]
+        vals = vals.at[idx_same].set(
+            sig_diags[bk_r[same], lo[same] - bk_r[same] * s, hi[same] - bk_c[same] * s]
+        )
+        idx_sub = np.nonzero(sub)[0]
+        if len(idx_sub):
+            vals = vals.at[idx_sub].set(
+                sig_subs[bk_c[sub], lo[sub] - bk_r[sub] * s, hi[sub] - bk_c[sub] * s]
+            )
+        return SparseMatrix(vals, pattern)
+
+    def selinv_dot(self, other: SparseMatrix):
+        z = self.selinv(other.pattern)
+        return jnp.sum(z.data * other.data, axis=-1)
+
+    def sqrt_matvec(self, z):
+        """L z in the permuted block basis, mapped back."""
+        zb = self._to_blocks(z)
+        Lk, Mk = self.Lk, self.Mk
+        lower = jax.vmap(lambda L, v: L @ v)(Lk, zb)
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(zb[:1]), jax.vmap(lambda M, v: M @ v)(Mk, zb[:-1])]
+        )
+        return self._from_blocks(lower + shifted, z.ndim)
+
+
+def banded_factorize(Q: SparseMatrix, block: int | None = None) -> BandedFactor:
+    # average with the transpose so gradient sensitivity splits evenly over
+    # both stored triangle entries (only the lower triangle is read)
+    if Q.pattern.is_symmetric:
+        Q = Q.symmetrize()
+    plan = banded_plan(Q.pattern, block)
+    s, K = plan["s"], plan["K"]
+    dtype = Q.data.dtype
+    D = jnp.zeros((K, s, s), dtype)
+    blk, r, c, sel = plan["d_idx"]
+    D = D.at[blk, r, c].add(Q.data[sel])
+    # unit diagonal on padding rows keeps the factorization well-posed
+    pad = plan["pad_diag"]
+    if len(pad):
+        D = D.at[pad // s, pad % s, pad % s].add(1.0)
+    E = jnp.zeros((max(K - 1, 0), s, s), dtype)
+    eblk, er, ec, esel = plan["e_idx"]
+    if len(esel):
+        E = E.at[eblk, er, ec].add(Q.data[esel])
+
+    def step(carry, inp):
+        prev_update = carry
+        D_k, E_k = inp
+        L_k = jnp.linalg.cholesky(D_k - prev_update)
+        M_k = jsl.solve_triangular(L_k, E_k.T, lower=True).T  # E_k L_k^{-T}
+        return M_k @ M_k.T, (L_k, M_k)
+
+    E_pad = jnp.concatenate([E, jnp.zeros((1, s, s), dtype)]) if K > 1 else jnp.zeros((K, s, s), dtype)
+    init = jnp.zeros((s, s), dtype)
+    _, (Lk, Mk_all) = jax.lax.scan(step, init, (D, E_pad[:K]))
+    Mk = Mk_all[:-1] if K > 1 else jnp.zeros((0, s, s), dtype)
+    return BandedFactor(Lk, Mk, meta=(Q.pattern, block))

@@ -36,7 +36,7 @@ class SolverSpec:
     """
 
     kind: str = "auto"
-    block: int = 256  # block size for blocked banded factorization
+    block: int | None = None  # block-size multiple for the banded backend
     dense_max: int = DENSE_AUTO_MAX
 
     def resolve(self, pattern) -> "SolverSpec":
