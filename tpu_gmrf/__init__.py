@@ -71,6 +71,8 @@ from .inference.marginals import (
 )
 from .solvers.rbmc import rbmc_var
 from .solvers.cg import cg_solve
+from .kl_cholesky import approximate_gmrf_kl, reverse_maximin_ordering
+from .graphical_lasso import graphical_lasso
 from .fem import (
     AdvectionDiffusionSPDE,
     FEMDiscretization,
