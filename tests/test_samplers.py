@@ -174,3 +174,38 @@ def test_nuts_over_gmrf_hyperparameters(rng):
     assert 0.1 < np.median(taus) < 10.0
     assert 0.0 < np.median(rhos) < 1.0
     assert np.asarray(res.accept_prob).mean() > 0.5
+
+
+def test_checkpointed_nuts(tmp_path):
+    """Chunked NUTS with checkpoint/resume: interrupted run resumes and
+    matches the draw count; moments remain sane."""
+    from tpu_gmrf.samplers.checkpoint import run_nuts_checkpointed
+
+    dim = 2
+    ld = _gauss_ld(np.zeros(dim), np.eye(dim))
+    d1 = str(tmp_path / "ck")
+    samples, state = run_nuts_checkpointed(
+        ld,
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, dim)),
+        checkpoint_dir=d1,
+        num_warmup=200,
+        num_samples=300,
+        chunk_size=100,
+    )
+    assert samples.shape == (2, 300, dim)
+    # resume: ask for more samples — warmup must NOT re-run, and the first
+    # 300 draws are identical to the checkpointed ones
+    samples2, _ = run_nuts_checkpointed(
+        ld,
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, dim)),
+        checkpoint_dir=d1,
+        num_warmup=200,
+        num_samples=500,
+        chunk_size=100,
+    )
+    assert samples2.shape == (2, 500, dim)
+    np.testing.assert_allclose(samples2[:, :300], samples, atol=1e-6)
+    flat = samples2.reshape(-1, dim)
+    np.testing.assert_allclose(flat.mean(axis=0), np.zeros(dim), atol=0.2)

@@ -7,6 +7,7 @@ from .mesh import (
 )
 from .discretization import FEMDiscretization, assemble_coo
 from .spde import MaternSPDE, MaternModel, range_to_kappa, smoothness_to_nu
+from .barrier import BarrierModel
 from .spatiotemporal import (
     SpatiotemporalGMRF,
     AdvectionDiffusionSPDE,
@@ -26,6 +27,7 @@ __all__ = [
     "assemble_coo",
     "MaternSPDE",
     "MaternModel",
+    "BarrierModel",
     "range_to_kappa",
     "smoothness_to_nu",
     "SpatiotemporalGMRF",

@@ -234,6 +234,53 @@ class FEMDiscretization:
             return assemble_coo(rows_out, cols_out, vals_out, (len(pts), n))
         raise NotImplementedError("evaluation on embedded surface meshes lands later")
 
+    def boundary_nodes(self) -> np.ndarray:
+        """Indices of boundary vertices (edges on exactly one triangle; the
+        two endpoints for interval meshes)."""
+        if isinstance(self.mesh, IntervalMesh):
+            return np.array([0, self.mesh.n_vertices - 1], dtype=np.int64)
+        t = self.mesh.triangles
+        edges = np.concatenate(
+            [t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]], axis=0
+        )
+        edges = np.sort(edges, axis=1)
+        uniq, counts = np.unique(edges, axis=0, return_counts=True)
+        return np.unique(uniq[counts == 1])
+
+    def derivative_matrix(self, points, dim: int = 0) -> SparseMatrix:
+        """Row p = ∂φ/∂x_dim of the P1 basis at points[p] (constant per
+        element) — for PointDerivativeObsModel-style observation operators
+        (reference ext/.../fem_derivatives.jl)."""
+        pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        n = self.ndofs
+        if isinstance(self.mesh, IntervalMesh):
+            nodes = self.mesh.nodes
+            x = np.clip(pts.ravel(), nodes[0], nodes[-1])
+            idx = np.clip(np.searchsorted(nodes, x) - 1, 0, n - 2)
+            h = nodes[idx + 1] - nodes[idx]
+            rows = np.repeat(np.arange(len(x)), 2)
+            cols = np.stack([idx, idx + 1], axis=1).ravel()
+            vals = np.stack([-1.0 / h, 1.0 / h], axis=1).ravel()
+            return assemble_coo(rows, cols, vals, (len(x), n))
+        coords = self.mesh.element_coords()
+        p0 = coords[:, 0]
+        e1 = coords[:, 1] - coords[:, 0]
+        e2 = coords[:, 2] - coords[:, 0]
+        det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        rows_out, cols_out, vals_out = [], [], []
+        tris = self.mesh.triangles
+        for p_idx, p in enumerate(pts):
+            d = p[None, :] - p0
+            u = (d[:, 0] * e2[:, 1] - d[:, 1] * e2[:, 0]) / det
+            v = (e1[:, 0] * d[:, 1] - e1[:, 1] * d[:, 0]) / det
+            w = 1.0 - u - v
+            viol = np.maximum(-np.stack([w, u, v], axis=1), 0.0).sum(axis=1)
+            el = int(np.argmin(viol))
+            rows_out += [p_idx] * 3
+            cols_out += list(tris[el])
+            vals_out += list(self.grads[el, :, dim])
+        return assemble_coo(rows_out, cols_out, vals_out, (len(pts), n))
+
     def node_selection_matrix(self, node_idx) -> SparseMatrix:
         node_idx = np.asarray(node_idx, dtype=np.int64)
         m = len(node_idx)

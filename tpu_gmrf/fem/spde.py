@@ -52,7 +52,13 @@ class MaternSPDE:
         smoothness: int = 1,
         variance: float = 1.0,
         diffusion_factor=None,
+        bc: str = "neumann",
+        boundary_noise: float = 1e-4,
     ):
+        if bc not in ("neumann", "dirichlet"):
+            raise ValueError("bc must be 'neumann' or 'dirichlet'")
+        self.bc = bc
+        self.boundary_noise = float(boundary_noise)
         self.disc = disc
         self.smoothness = int(smoothness)
         self.variance = float(variance)
@@ -70,6 +76,19 @@ class MaternSPDE:
         self.K_pattern = union_patterns(diag_pattern(n), self.G.pattern)
         self._G_padded = self.G.pad_to(self.K_pattern)
         self._diag_pos = self.K_pattern.diag_positions
+        if self.bc == "dirichlet":
+            bnodes = disc.boundary_nodes()
+            bmask = np.zeros(n, bool)
+            bmask[bnodes] = True
+            self._bmask = bmask
+            rows, cols = self.K_pattern.rows, self.K_pattern.cols
+            # keep entries not touching the boundary; boundary diag handled below
+            self._K_keep = np.asarray(
+                ~(bmask[rows] | bmask[cols]) | (rows == cols), dtype=bool
+            )
+            self._b_diag_pos = self._diag_pos[bnodes]
+        else:
+            self._bmask = None
 
     @property
     def n(self):
@@ -79,6 +98,11 @@ class MaternSPDE:
         data = self._G_padded.data.at[self._diag_pos].add(
             jnp.asarray(kappa) ** 2 * self.C_diag
         )
+        if self._bmask is not None:
+            # soft Dirichlet: decouple boundary dofs (zero row/col, unit diag)
+            # — reference _matern_precision_only soft-constraint handling
+            data = jnp.where(jnp.asarray(self._K_keep), data, 0.0)
+            data = data.at[self._b_diag_pos].set(1.0)
         return self._G_padded.with_data(data)
 
     def precision(self, kappa) -> SparseMatrix:
@@ -103,6 +127,14 @@ class MaternSPDE:
             ) * kappa ** (-2.0 * self.nu)
             ratio = sigma2_nat / self.variance
             Q = Q * ratio
+        if self._bmask is not None:
+            # boundary dofs ~ N(0, boundary_noise²), independent
+            rows, cols = Q.pattern.rows, Q.pattern.cols
+            keep = ~(self._bmask[rows] | self._bmask[cols]) | (rows == cols)
+            data = jnp.where(jnp.asarray(keep), Q.data, 0.0)
+            bpos = Q.pattern.diag_positions[np.nonzero(self._bmask)[0]]
+            data = data.at[bpos].set(self.boundary_noise ** (-2.0))
+            Q = Q.with_data(data)
         return Q.symmetrize() if Q.pattern.is_symmetric else Q
 
     def _recursion(self, K, alpha, Cinv):
@@ -132,6 +164,8 @@ class MaternModel(LatentModel):
         solver=None,
         element_size=None,
         diffusion_factor=None,
+        bc: str = "neumann",
+        boundary_noise: float = 1e-4,
     ):
         if isinstance(disc_or_points, FEMDiscretization):
             disc = disc_or_points
@@ -142,7 +176,13 @@ class MaternModel(LatentModel):
             disc = FEMDiscretization(mesh)
             self.observation_points = pts
         self.disc = disc
-        self.spde = MaternSPDE(disc, smoothness=smoothness, diffusion_factor=diffusion_factor)
+        self.spde = MaternSPDE(
+            disc,
+            smoothness=smoothness,
+            diffusion_factor=diffusion_factor,
+            bc=bc,
+            boundary_noise=boundary_noise,
+        )
         self.constraint = process_constraint(constraint, disc.ndofs)
         if solver is not None:
             self.solver = solver

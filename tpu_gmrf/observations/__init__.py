@@ -20,6 +20,7 @@ from .autodiff import (
     ZeroLikelihood,
 )
 from .composite import CompositeObservationModel, CompositeLikelihood
+from .structured import StructuredObservationModel, StructuredLikelihood, ObsFactorGroup
 
 __all__ = [
     "ObservationModel",
@@ -40,4 +41,7 @@ __all__ = [
     "ZeroLikelihood",
     "CompositeObservationModel",
     "CompositeLikelihood",
+    "StructuredObservationModel",
+    "StructuredLikelihood",
+    "ObsFactorGroup",
 ]

@@ -12,6 +12,7 @@ from .transforms import (
 )
 from .vi import run_advi, ADVIResult
 from .smc import run_smc, SMCResult
+from .checkpoint import run_nuts_checkpointed
 
 __all__ = [
     "hmc_kernel",
@@ -32,5 +33,6 @@ __all__ = [
     "run_advi",
     "ADVIResult",
     "run_smc",
+    "run_nuts_checkpointed",
     "SMCResult",
 ]
