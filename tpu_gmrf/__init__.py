@@ -21,6 +21,22 @@ from .sparse import (
 from .solvers import SolverSpec, factorize
 from .gmrf import GMRF, logpdf, sample
 from .constrained import ConstrainedGMRF
+from .metagmrf import GMRFMetadata, MetaGMRF
+from .linear_maps import (
+    CholeskySqrtMap,
+    OuterProductMap,
+    SSMBidiagonalMap,
+    SymmetricBlockTridiagonalMap,
+    ZeroMap,
+    block_tridiag_to_sparse,
+)
+from .workspace import (
+    GMRFWorkspace,
+    WorkspacePool,
+    make_workspace,
+    make_workspace_pool,
+)
+from .geo import adjacency_from_shapefile, contiguity_adjacency, read_shapefile_polygons
 from .models import (
     AR1Model,
     ARModel,

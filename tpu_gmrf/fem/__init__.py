@@ -8,6 +8,7 @@ from .mesh import (
 from .discretization import FEMDiscretization, assemble_coo
 from .spde import MaternSPDE, MaternModel, range_to_kappa, smoothness_to_nu
 from .barrier import BarrierModel
+from .obs_models import PointDerivativeObsModel, PointEvaluationObsModel
 from .spatiotemporal import (
     SpatiotemporalGMRF,
     AdvectionDiffusionSPDE,

@@ -1,10 +1,13 @@
 """Tridiagonal Cholesky backend (AR1 / RW1 precisions).
 
 Bidiagonal Cholesky, solves, and the Takahashi selected-inverse recursion
-as `lax.scan`s — O(n) work, O(n) memory, no dense materialization. The
-reference handles this case via LDLt on `SymTridiagonal`
+— O(n) work, O(n) memory, no dense materialization. The reference handles
+this case via sequential LDLt on `SymTridiagonal`
 (reference: src/utils/linsolve_utils.jl storage-type resolution;
-src/latent_models/ar.jl:7-8).
+src/latent_models/ar.jl:7-8). Here every recurrence is solved by parallel
+prefix (`associative_scan`, solvers/prefix.py): O(log n) depth instead of
+n sequential steps, which is the TPU-native formulation — the recurrences
+are latency-bound on the VPU otherwise.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ import numpy as np
 
 from ..sparse.matrix import SparseMatrix
 from ..sparse.pattern import SparsePattern
+from .prefix import linear_recurrence, mobius_recurrence
 
 __all__ = ["TridiagFactor", "tridiag_factorize"]
 
@@ -38,30 +42,18 @@ class TridiagFactor:
         return jnp.concatenate([self.e, jnp.zeros((1,), self.d.dtype)])
 
     def forward_solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        """L y = b."""
+        """L y = b, via parallel prefix on y_i = -(e_{i-1}/d_i) y_{i-1} + b_i/d_i."""
         e = jnp.concatenate([jnp.zeros((1,), self.d.dtype), self.e])
-
-        def step(y_prev, inp):
-            bi, di, ei = inp
-            yi = (bi - ei * y_prev) / di
-            return yi, yi
-
-        _, y = jax.lax.scan(step, jnp.zeros(b.shape[1:], b.dtype), (b, self.d, e))
-        return y
+        dcol = self.d.reshape(self.d.shape + (1,) * (b.ndim - 1))
+        alpha = -e / self.d
+        return linear_recurrence(alpha, b / dcol)
 
     def backward_solve(self, z: jnp.ndarray) -> jnp.ndarray:
-        """Lᵀ x = z."""
+        """Lᵀ x = z, via reverse parallel prefix on x_i = -(e_i/d_i) x_{i+1} + z_i/d_i."""
         e = self._e_pad()
-
-        def step(x_next, inp):
-            zi, di, ei = inp
-            xi = (zi - ei * x_next) / di
-            return xi, xi
-
-        _, x = jax.lax.scan(
-            step, jnp.zeros(z.shape[1:], z.dtype), (z, self.d, e), reverse=True
-        )
-        return x
+        dcol = self.d.reshape(self.d.shape + (1,) * (z.ndim - 1))
+        alpha = -e / self.d
+        return linear_recurrence(alpha, z / dcol, reverse=True)
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.backward_solve(self.forward_solve(b))
@@ -82,18 +74,10 @@ class TridiagFactor:
         Z[j+1,j] = -(e_j/d_j) Z[j+1,j+1].
         """
         r = self.e / self.d[:-1]  # (n-1,)
-
-        def step(z_next, inp):
-            dj, rj = inp
-            zoff = -rj * z_next
-            zj = 1.0 / dj**2 + rj * rj * z_next
-            return zj, (zj, zoff)
-
-        z_last = 1.0 / self.d[-1] ** 2
-        _, (zdiag, zoff) = jax.lax.scan(
-            step, z_last, (self.d[:-1], r), reverse=True
-        )
-        zdiag = jnp.concatenate([zdiag, z_last[None]])
+        # z_j = r_j² z_{j+1} + 1/d_j², reverse recurrence (r_{n-1} := 0).
+        alpha = jnp.concatenate([r * r, jnp.zeros((1,), self.d.dtype)])
+        zdiag = linear_recurrence(alpha, 1.0 / (self.d * self.d), reverse=True)
+        zoff = -r * zdiag[1:]
         return zdiag, zoff
 
     def selinv_diag(self) -> jnp.ndarray:
@@ -134,14 +118,12 @@ def tridiag_factorize(Q: SparseMatrix) -> TridiagFactor:
     else:
         c = Q.data[sub_pos]
 
-    # d_0 = sqrt(a_0); e_i = c_i / d_i; d_{i+1} = sqrt(a_{i+1} - e_i²)
-    def chol_step(d_prev, inp):
-        ai, ci_prev = inp
-        ei = ci_prev / d_prev
-        di = jnp.sqrt(ai - ei * ei)
-        return di, (di, ei)
-
-    d0 = jnp.sqrt(a[0])
-    _, (d_rest, e) = jax.lax.scan(chol_step, d0, (a[1:], c))
-    d = jnp.concatenate([d0[None], d_rest])
+    # LDL pivots δ_k = a_k − c_{k-1}²/δ_{k-1}: a continued fraction, i.e. a
+    # Möbius transform δ_k = (a_k δ_{k-1} − c_{k-1}²)/(1·δ_{k-1} + 0) —
+    # composed in O(log n) stages by normalized 2x2 products (prefix.py).
+    ones = jnp.ones_like(c)
+    delta_rest = mobius_recurrence(a[1:], -c * c, ones, jnp.zeros_like(c), a[0], 1.0)
+    delta = jnp.concatenate([a[:1], delta_rest])
+    d = jnp.sqrt(delta)
+    e = c / d[:-1]
     return TridiagFactor(d, e)
