@@ -32,12 +32,13 @@ DENSE_AUTO_MAX = 4096
 class SolverSpec:
     """Static solver configuration.
 
-    kind: "auto" | "dense" | "tridiag" | "banded" | "cg"
+    kind: "auto" | "dense" | "tridiag" | "banded" | "supernodal" | "cg"
     """
 
     kind: str = "auto"
     block: int | None = None  # block-size multiple for the banded backend
     dense_max: int = DENSE_AUTO_MAX
+    max_width: int = 32  # supernode width cap (supernodal backend)
 
     def resolve(self, pattern) -> "SolverSpec":
         if self.kind != "auto":
@@ -47,7 +48,34 @@ class SolverSpec:
             return dataclasses.replace(self, kind="tridiag")
         if n <= self.dense_max:
             return dataclasses.replace(self, kind="dense")
-        return dataclasses.replace(self, kind="banded")
+        return dataclasses.replace(self, kind=_large_sparse_kind(pattern))
+
+
+def _large_sparse_kind(pattern) -> str:
+    """Choose banded vs supernodal for a large unstructured pattern.
+
+    Banded (RCM + block-tridiagonal dense scan) is perfectly regular on the
+    MXU but does n·b² work; the supernodal backend follows the AMD fill
+    (Σ colcount² work) with bucketed batched kernels. Prefer banded unless
+    AMD fill-flops undercut banded by a healthy regularity margin.
+    """
+    from .banded import banded_plan
+    from .supernodal import supernodal_plan
+
+    try:
+        bplan = banded_plan(pattern, None)
+        banded_flops = float(bplan["npad"]) * float(bplan["s"]) ** 2
+    except Exception:
+        return "supernodal"
+    try:
+        splan = supernodal_plan(pattern)
+    except Exception:
+        return "banded"
+    # MXU-regularity discount: banded runs dense fixed-shape scans, the
+    # supernodal path pays gather/scatter overhead — require 8x fewer flops.
+    if splan["flops"] * 8.0 < banded_flops:
+        return "supernodal"
+    return "banded"
 
 
 def _is_tridiagonal(pattern) -> bool:
@@ -69,4 +97,8 @@ def factorize(Q: SparseMatrix, spec: SolverSpec = SolverSpec()):
         from .banded import banded_factorize
 
         return banded_factorize(Q, block=spec.block)
+    if spec.kind == "supernodal":
+        from .supernodal import supernodal_factorize
+
+        return supernodal_factorize(Q, max_width=spec.max_width)
     raise ValueError(f"unknown solver kind: {spec.kind}")

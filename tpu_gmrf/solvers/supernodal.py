@@ -1,0 +1,488 @@
+"""Supernodal sparse Cholesky backend — general unstructured patterns.
+
+This is the TPU-native replacement for CHOLMOD's supernodal factorization +
+SelectedInversion.jl's Takahashi recursion (reference:
+src/workspace/backend.jl:24-182, src/solvers/selinv.jl:70-138), designed
+for XLA rather than translated:
+
+* **Host symbolic, once per pattern** (native C++ core, `tpu_gmrf.native`):
+  AMD fill-reducing ordering → elimination tree → postorder → column counts
+  → L fill pattern → fundamental supernode partition. The result is a frozen
+  plan of static index maps (gather/scatter tables), cached per pattern.
+
+* **Device numeric, per value vector**: a right-looking factorization over
+  the supernode DAG, *level-scheduled* — supernodes at the same elimination-
+  tree depth are independent, so each level is ONE batch of padded dense
+  MXU ops (Cholesky of diagonal blocks, triangular panel solves, Schur
+  rank-k updates) glued by fixed-shape gather/scatter into a flat CSC value
+  array. Irregular supernode sizes are bucketed into pow-2 size classes so
+  XLA compiles a handful of kernels per level.
+
+* **Selected inversion** runs the same schedule backwards: the block
+  Takahashi recursion Σ_RJ = −Σ_RR·C, Σ_JJ = L_D⁻ᵀL_D⁻¹ + CᵀΣ_RR·C with
+  C = L_B L_D⁻¹, reusing the factorization's Schur gather tables (rows R of
+  a supernode form a clique in the filled graph, so every (R_p, R_q) entry
+  exists in L's pattern).
+
+f32 robustness: Jacobi equilibration Q' = S·Q·S exactly as the dense
+backend; logdet/solves/selinv are corrected analytically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from ..sparse.matrix import SparseMatrix
+from ..sparse.pattern import SparsePattern
+
+__all__ = ["SupernodalFactor", "supernodal_factorize", "supernodal_plan"]
+
+_PLAN_CACHE: dict = {}
+
+_SELINV_CACHE: dict = {}
+
+
+def _pow2_pad(x: int, floor: int = 8) -> int:
+    if x <= 0:
+        return 0
+    p = floor
+    while p < x:
+        p *= 2
+    return p
+
+
+def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
+    """Build (and cache) the symbolic plan for `pattern`."""
+    key = (pattern, max_width)
+    plan = _PLAN_CACHE.get(key)
+    if plan is not None:
+        return plan
+
+    from .. import native
+
+    n = pattern.shape[0]
+    S = pattern.to_scipy_bool()
+    S = ((S + S.T) > 0).tocsr()
+    S.sort_indices()
+    ap0 = S.indptr.astype(np.int32)
+    ai0 = S.indices.astype(np.int32)
+
+    # 1) fill-reducing ordering + postorder composition
+    amd = native.amd_order(n, ap0, ai0)
+    import scipy.sparse as sp
+
+    P = sp.csr_matrix(
+        (np.ones(n, np.int8), (np.arange(n), amd)), shape=(n, n)
+    )
+    Sp = (P @ S @ P.T).tocsr()
+    Sp.sort_indices()
+    parent0 = native.etree(
+        n, Sp.indptr.astype(np.int32), Sp.indices.astype(np.int32)
+    )
+    post = native.postorder(parent0)
+    perm = amd[post]  # perm[k] = original index of permuted column k
+    Pf = sp.csr_matrix(
+        (np.ones(n, np.int8), (np.arange(n), perm)), shape=(n, n)
+    )
+    Sf = (Pf @ S @ Pf.T).tocsr()
+    Sf.sort_indices()
+    apf = Sf.indptr.astype(np.int32)
+    aif = Sf.indices.astype(np.int32)
+
+    # 2) etree / counts / fill on the final ordering
+    parent = native.etree(n, apf, aif)
+    counts = native.col_counts(n, apf, aif, parent)
+    lp, li = native.symbolic_fill(n, apf, aif, parent, counts)
+    nnzL = int(lp[-1])
+    snode = native.supernode_partition(parent, counts, max_width)
+    nsuper = int(snode[-1]) + 1 if n else 0
+
+    # supernode boundaries
+    sn_start = np.zeros(nsuper + 1, dtype=np.int64)
+    np.add.at(sn_start, snode + 1, 1)
+    sn_start = np.cumsum(sn_start)
+
+    inv_perm = np.empty(n, dtype=np.int64)
+    inv_perm[perm] = np.arange(n)
+
+    # A(original canonical entries) -> vals scatter map (lower triangle only)
+    pr = inv_perm[pattern.rows]
+    pc = inv_perm[pattern.cols]
+    lower = pr >= pc
+    a_src = np.nonzero(lower)[0].astype(np.int32)
+    lr = pr[lower]
+    lc = pc[lower]
+    a_dst = np.empty(len(a_src), dtype=np.int64)
+    for t in range(len(a_src)):
+        j = lc[t]
+        seg = li[lp[j] : lp[j + 1]]
+        a_dst[t] = lp[j] + np.searchsorted(seg, lr[t])
+    a_dst = a_dst.astype(np.int32)
+
+    # per-supernode structures
+    levels = np.zeros(nsuper, dtype=np.int64)
+    sn_parent = np.full(nsuper, -1, dtype=np.int64)
+    for s in range(nsuper):
+        last = sn_start[s + 1] - 1
+        pcol = parent[last]
+        if pcol != -1:
+            sn_parent[s] = snode[pcol]
+    for s in range(nsuper):
+        p = sn_parent[s]
+        if p != -1:
+            levels[p] = max(levels[p], levels[s] + 1)
+    nlevels = int(levels.max()) + 1 if nsuper else 0
+
+    # bucket supernodes by (level, ns_pad, m_pad)
+    buckets: dict = {}
+    for s in range(nsuper):
+        j0 = int(sn_start[s])
+        j1 = int(sn_start[s + 1])
+        ns = j1 - j0
+        rows = li[lp[j0] + ns : lp[j0 + 1]]  # R_s (strictly below the snode)
+        m = len(rows)
+        bk = (int(levels[s]), _pow2_pad(ns, 4), _pow2_pad(m, 8))
+        buckets.setdefault(bk, []).append((j0, ns, rows))
+
+    # build padded index tables per bucket
+    level_buckets: list = [[] for _ in range(nlevels)]
+    pos_cache: dict = {}
+
+    def pos_of(i, j):
+        """vals position of L entry (i, j), i >= j (permuted indices)."""
+        seg = li[lp[j] : lp[j + 1]]
+        return lp[j] + int(np.searchsorted(seg, i))
+
+    DUMMY = nnzL  # one dummy slot appended to vals
+    NDUMMY = n  # dummy slot for length-(n+1) vectors
+
+    for (lev, W, M), group in sorted(buckets.items()):
+        Bn = len(group)
+        panel_idx = np.full((Bn, W + M, W), DUMMY, dtype=np.int32)
+        schur_idx = np.full((Bn, M, M), DUMMY, dtype=np.int32)
+        cols_idx = np.full((Bn, W), NDUMMY, dtype=np.int32)
+        rows_idx = np.full((Bn, M), NDUMMY, dtype=np.int32)
+        col_mask = np.zeros((Bn, W), dtype=bool)
+        for b, (j0, ns, rows) in enumerate(group):
+            m = len(rows)
+            cols_idx[b, :ns] = np.arange(j0, j0 + ns)
+            col_mask[b, :ns] = True
+            rows_idx[b, :m] = rows
+            for c in range(ns):
+                base = lp[j0 + c]
+                # diagonal block: rows j0+c .. j0+ns-1 are the first entries
+                na = ns - c
+                panel_idx[b, c : c + na, c] = base + np.arange(na)
+                # off-diagonal rows R_s follow contiguously
+                panel_idx[b, W : W + m, c] = base + na + np.arange(m)
+            if m:
+                for q in range(m):
+                    jq = rows[q]
+                    seg = li[lp[jq] : lp[jq + 1]]
+                    ps = np.searchsorted(seg, rows[q:])
+                    schur_idx[b, q:m, q] = lp[jq] + ps
+        level_buckets[lev].append(
+            dict(
+                W=W,
+                M=M,
+                panel_idx=panel_idx,
+                schur_idx=schur_idx,
+                cols_idx=cols_idx,
+                rows_idx=rows_idx,
+                col_mask=col_mask,
+            )
+        )
+
+    diag_pos = np.array([pos_of(j, j) for j in range(n)], dtype=np.int32)
+
+    plan = dict(
+        n=n,
+        nnzL=nnzL,
+        perm=perm.astype(np.int32),
+        inv_perm=inv_perm.astype(np.int32),
+        lp=lp,
+        li=li,
+        a_src=a_src,
+        a_dst=a_dst,
+        diag_pos=diag_pos,
+        level_buckets=level_buckets,
+        nlevels=nlevels,
+        nsuper=nsuper,
+        flops=float(np.sum(counts.astype(np.float64) ** 2)),
+    )
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
+def _tril_mask(W, dtype):
+    return jnp.tril(jnp.ones((W, W), dtype=dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SupernodalFactor:
+    """L values on the fill pattern (flat CSC, + 1 dummy slot) with Jacobi
+    scaling s: Q = (S⁻¹L)(S⁻¹L)ᵀ, S = diag(s), L from vals."""
+
+    vals: Any  # (nnzL + 1,)
+    s: Any  # (n,) equilibration
+    meta: Any = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def plan(self):
+        return _PLAN_CACHE[self.meta]
+
+    @property
+    def n(self):
+        return self.plan["n"]
+
+    # -- helpers ------------------------------------------------------------
+
+    def _perm_vec(self, b):
+        plan = self.plan
+        bp = (self.s * b)[jnp.asarray(plan["perm"])]
+        return jnp.concatenate([bp, jnp.zeros((1,), bp.dtype)])
+
+    def _unperm_vec(self, xp, scale=True):
+        plan = self.plan
+        x = jnp.zeros(plan["n"], xp.dtype).at[jnp.asarray(plan["perm"])].set(
+            xp[: plan["n"]]
+        )
+        return self.s * x if scale else x
+
+    def _gather_panels(self, vals, bk):
+        """Returns (Ld (B,W,W) lower w/ unit padded diag, Lb (B,M,W))."""
+        panel = vals[bk["panel_idx"]]
+        W = bk["W"]
+        D = panel[:, :W, :]
+        pad = (~bk["col_mask"]).astype(D.dtype)
+        Ld = D + jax.vmap(jnp.diag)(pad)
+        Lb = panel[:, W:, :]
+        return Ld, Lb
+
+    # -- factorization ------------------------------------------------------
+
+    @staticmethod
+    def _factorize(Q: SparseMatrix, meta) -> "SupernodalFactor":
+        plan = _PLAN_CACHE[meta]
+        # Symmetrize (average both stored triangles) so ∂/∂data matches the
+        # dense backend's convention: each stored entry gets Z_ij, not 2Z/0.
+        data = 0.5 * (Q.data + Q.data[jnp.asarray(Q.pattern.transpose_perm)])
+        d = data[jnp.asarray(Q.pattern.diag_positions)]
+        s = jnp.where(d > 0, jax.lax.rsqrt(jnp.where(d > 0, d, 1.0)), 1.0)
+        scaled = data * s[Q.pattern.rows] * s[Q.pattern.cols]
+        vals = (
+            jnp.zeros(plan["nnzL"] + 1, data.dtype)
+            .at[jnp.asarray(plan["a_dst"])]
+            .set(scaled[jnp.asarray(plan["a_src"])])
+        )
+        dt = data.dtype
+        for lev in range(plan["nlevels"]):
+            for bk in plan["level_buckets"][lev]:
+                W = bk["W"]
+                Dl, Bm = SupernodalFactor._gather_raw(vals, bk)
+                # symmetrize lower-gathered diag block; pad cols get unit diag
+                Dfull = Dl + jnp.swapaxes(Dl, -1, -2) - jax.vmap(jnp.diag)(
+                    jnp.diagonal(Dl, axis1=-2, axis2=-1)
+                )
+                pad = (~bk["col_mask"]).astype(dt)
+                Dfull = Dfull + jax.vmap(jnp.diag)(pad)
+                Ld = jnp.linalg.cholesky(Dfull)
+                # Lb = B L_D^{-T}  ==  (L_D^{-1} Bᵀ)ᵀ
+                Lb = jnp.swapaxes(
+                    jsl.solve_triangular(Ld, jnp.swapaxes(Bm, -1, -2), lower=True),
+                    -1,
+                    -2,
+                )
+                U = jnp.einsum("bik,bjk->bij", Lb, Lb)
+                # zero padded cols of Ld before store (keep dummy slot clean-ish)
+                Ld_store = Ld * (1.0 - jax.vmap(jnp.diag)(pad))
+                newp = jnp.concatenate([Ld_store, Lb], axis=1)
+                vals = vals.at[bk["panel_idx"]].set(newp)
+                vals = vals.at[bk["schur_idx"]].add(-U)
+                vals = vals.at[plan["nnzL"]].set(0.0)
+        return SupernodalFactor(vals=vals, s=s, meta=meta)
+
+    @staticmethod
+    def _gather_raw(vals, bk):
+        panel = vals[bk["panel_idx"]]
+        W = bk["W"]
+        return panel[:, :W, :], panel[:, W:, :]
+
+    # -- solves -------------------------------------------------------------
+
+    def _forward(self, xp):
+        """L y = b over the level schedule (ascending)."""
+        plan = self.plan
+        vals = self.vals
+        for lev in range(plan["nlevels"]):
+            for bk in plan["level_buckets"][lev]:
+                Ld, Lb = self._gather_panels(vals, bk)
+                bc = xp[bk["cols_idx"]][..., None]  # (B, W, 1)
+                yc = jsl.solve_triangular(Ld, bc, lower=True)
+                xp = xp.at[bk["cols_idx"]].set(yc[..., 0])
+                upd = jnp.einsum("bmk,bko->bmo", Lb, yc)[..., 0]
+                xp = xp.at[bk["rows_idx"]].add(-upd)
+                xp = xp.at[plan["n"]].set(0.0)
+        return xp
+
+    def _backward(self, xp):
+        """Lᵀ x = z over the level schedule (descending)."""
+        plan = self.plan
+        vals = self.vals
+        for lev in range(plan["nlevels"] - 1, -1, -1):
+            for bk in plan["level_buckets"][lev]:
+                Ld, Lb = self._gather_panels(vals, bk)
+                zc = xp[bk["cols_idx"]]
+                xr = xp[bk["rows_idx"]][..., None]
+                rhs = zc - jnp.einsum("bmk,bmo->bko", Lb, xr)[..., 0]
+                xc = jsl.solve_triangular(
+                    Ld, rhs[..., None], lower=True, trans=1
+                )[..., 0]
+                xp = xp.at[bk["cols_idx"]].set(xc)
+                xp = xp.at[plan["n"]].set(0.0)
+        return xp
+
+    def _solve1(self, b):
+        xp = self._backward(self._forward(self._perm_vec(b)))
+        return self._unperm_vec(xp)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        if b.ndim == 1:
+            return self._solve1(b)
+        return jax.vmap(self._solve1, in_axes=1, out_axes=1)(b)
+
+    def forward_solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """L x = S·b in the permuted basis (whitening); used via sqmahal-free
+        paths. Returns in permuted coordinates un-permuted to original ids."""
+        if b.ndim > 1:
+            return jax.vmap(self.forward_solve, in_axes=1, out_axes=1)(b)
+        xp = self._forward(self._perm_vec(b))
+        return self._unperm_vec(xp, scale=False)
+
+    def backward_solve(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Lᵀ x = z (isotropic z → sample with covariance Q⁻¹)."""
+        if z.ndim > 1:
+            return jax.vmap(self.backward_solve, in_axes=1, out_axes=1)(z)
+        zp = jnp.concatenate([z[: self.n], jnp.zeros((1,), z.dtype)])
+        xp = self._backward(zp)
+        return self._unperm_vec(xp)
+
+    def sqrt_matvec(self, z: jnp.ndarray) -> jnp.ndarray:
+        """(S⁻¹L) z — maps N(0, I) to N(0, Q)."""
+        plan = self.plan
+        vals = self.vals
+        zp = jnp.concatenate([z, jnp.zeros((1,), z.dtype)])
+        out = jnp.zeros(plan["n"] + 1, z.dtype)
+        for lev in range(plan["nlevels"]):
+            for bk in plan["level_buckets"][lev]:
+                Ld, Lb = self._gather_panels(vals, bk)
+                pad = (~bk["col_mask"]).astype(z.dtype)
+                Ldz = Ld - jax.vmap(jnp.diag)(pad)
+                zc = zp[bk["cols_idx"]][..., None]
+                out = out.at[bk["cols_idx"]].add(
+                    jnp.einsum("bik,bko->bio", Ldz, zc)[..., 0]
+                )
+                out = out.at[bk["rows_idx"]].add(
+                    jnp.einsum("bmk,bko->bmo", Lb, zc)[..., 0]
+                )
+                out = out.at[plan["n"]].set(0.0)
+        x = self._unperm_vec(out, scale=False)
+        return x / self.s
+
+    # -- statistics ---------------------------------------------------------
+
+    def logdet(self) -> jnp.ndarray:
+        plan = self.plan
+        diag = self.vals[jnp.asarray(plan["diag_pos"])]
+        return 2.0 * jnp.sum(jnp.log(diag)) - 2.0 * jnp.sum(jnp.log(self.s))
+
+    def _sigma_vals(self) -> jnp.ndarray:
+        """Takahashi recursion: Σ entries on L's pattern (scaled basis)."""
+        plan = self.plan
+        vals = self.vals
+        sig = jnp.zeros(plan["nnzL"] + 1, vals.dtype)
+        for lev in range(plan["nlevels"] - 1, -1, -1):
+            for bk in plan["level_buckets"][lev]:
+                Ld, Lb = self._gather_panels(vals, bk)
+                W = bk["W"]
+                # C = L_B L_D^{-1}:  Cᵀ = L_D^{-T} L_Bᵀ
+                Ct = jsl.solve_triangular(
+                    Ld, jnp.swapaxes(Lb, -1, -2), lower=True, trans=1
+                )
+                G = sig[bk["schur_idx"]]
+                Srr = G + jnp.swapaxes(G, -1, -2) - jax.vmap(jnp.diag)(
+                    jnp.diagonal(G, axis1=-2, axis2=-1)
+                )
+                Srj = -jnp.einsum("bpq,bkq->bpk", Srr, Ct)  # (B, M, W)
+                eye = jnp.broadcast_to(
+                    jnp.eye(W, dtype=vals.dtype), Ld.shape
+                )
+                Ldinv = jsl.solve_triangular(Ld, eye, lower=True)
+                Sjj = jnp.einsum("bki,bkj->bij", Ldinv, Ldinv) + jnp.einsum(
+                    "bip,bpq,bjq->bij", Ct, Srr, Ct
+                )
+                tril = _tril_mask(W, vals.dtype)
+                newp = jnp.concatenate([Sjj * tril, Srj], axis=1)
+                sig = sig.at[bk["panel_idx"]].set(newp)
+                sig = sig.at[plan["nnzL"]].set(0.0)
+        return sig
+
+    def selinv_diag(self) -> jnp.ndarray:
+        sig = self._sigma_vals()
+        plan = self.plan
+        dp = sig[jnp.asarray(plan["diag_pos"])]  # permuted order
+        d = jnp.zeros(plan["n"], dp.dtype).at[jnp.asarray(plan["perm"])].set(dp)
+        return self.s**2 * d
+
+    def _selinv_positions(self, pattern: SparsePattern) -> np.ndarray:
+        key = (self.meta, pattern)
+        posv = _SELINV_CACHE.get(key)
+        if posv is None:
+            plan = self.plan
+            lp, li = plan["lp"], plan["li"]
+            pr = plan["inv_perm"][pattern.rows]
+            pc = plan["inv_perm"][pattern.cols]
+            lo = np.minimum(pr, pc)
+            hi = np.maximum(pr, pc)
+            posv = np.empty(pattern.nnz, dtype=np.int32)
+            for t in range(pattern.nnz):
+                j = lo[t]
+                seg = li[lp[j] : lp[j + 1]]
+                k = np.searchsorted(seg, hi[t])
+                if k >= len(seg) or seg[k] != hi[t]:
+                    raise ValueError(
+                        "selinv pattern entry outside the Cholesky fill pattern"
+                    )
+                posv[t] = lp[j] + k
+            _SELINV_CACHE[key] = posv
+        return posv
+
+    def selinv(self, pattern: SparsePattern) -> SparseMatrix:
+        posv = self._selinv_positions(pattern)
+        sig = self._sigma_vals()
+        vals = (
+            sig[jnp.asarray(posv)]
+            * self.s[pattern.rows]
+            * self.s[pattern.cols]
+        )
+        return SparseMatrix(vals, pattern)
+
+    def selinv_dot(self, other: SparseMatrix) -> jnp.ndarray:
+        z = self.selinv(other.pattern)
+        return jnp.sum(z.data * other.data, axis=-1)
+
+
+def supernodal_factorize(
+    Q: SparseMatrix, max_width: int = 32
+) -> SupernodalFactor:
+    if not Q.pattern.is_symmetric:
+        raise ValueError("supernodal backend requires a symmetric pattern")
+    supernodal_plan(Q.pattern, max_width)  # ensure cached
+    return SupernodalFactor._factorize(Q, (Q.pattern, max_width))
