@@ -250,3 +250,37 @@ def test_point_evaluation_obs_model(rng):
     # posterior predictions at observed points should be close to y
     pred = np.asarray(A @ post.mean)
     assert np.mean((pred - y) ** 2) < np.mean((np.asarray(A @ prior.mean) - y) ** 2)
+
+
+# ------------------------------------------------------- AD Jacobian maps ---
+def test_ad_jacobian_map_and_sparse_jacobian(rng):
+    from tpu_gmrf.linear_maps import ADJacobianMap, sparse_jacobian_map
+    from tpu_gmrf.sparse.pattern import SparsePattern
+
+    def f(x):
+        return jnp.stack([x[0] ** 2 + x[1], jnp.sin(x[2]), x[1] * x[3], x[3] - x[0]])
+
+    x = jnp.asarray(rng.normal(size=4))
+    J = np.asarray(jax.jacfwd(f)(x))
+    m = ADJacobianMap(f, x)
+    v = jnp.asarray(rng.normal(size=4))
+    np.testing.assert_allclose(np.asarray(m @ v), J @ np.asarray(v), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.rmatvec(v)), J.T @ np.asarray(v), atol=1e-12)
+    rows, cols = np.nonzero(J != 0)
+    pat = SparsePattern(rows, cols, (4, 4))
+    S = sparse_jacobian_map(f, x, pat)
+    np.testing.assert_allclose(np.asarray(S.data), J[pat.rows, pat.cols], atol=1e-12)
+
+
+def test_gmrf_elementary_arithmetic(rng):
+    import scipy.sparse as sp
+    from tpu_gmrf.sparse import from_scipy
+
+    Q = from_scipy(sp.eye(6).tocsr() * 3.0)
+    g = tg.GMRF.from_precision(jnp.zeros(6), Q)
+    v = jnp.asarray(rng.normal(size=6))
+    g2 = g + v
+    np.testing.assert_allclose(np.asarray(g2.mean), np.asarray(v))
+    np.testing.assert_allclose(np.asarray((g2 - v).mean), 0.0, atol=1e-14)
+    # precision untouched
+    np.testing.assert_allclose(np.asarray(g2.Q.data), np.asarray(g.Q.data))

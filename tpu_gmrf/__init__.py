@@ -23,12 +23,14 @@ from .gmrf import GMRF, logpdf, sample
 from .constrained import ConstrainedGMRF
 from .metagmrf import GMRFMetadata, MetaGMRF
 from .linear_maps import (
+    ADJacobianMap,
     CholeskySqrtMap,
     OuterProductMap,
     SSMBidiagonalMap,
     SymmetricBlockTridiagonalMap,
     ZeroMap,
     block_tridiag_to_sparse,
+    sparse_jacobian_map,
 )
 from .workspace import (
     GMRFWorkspace,

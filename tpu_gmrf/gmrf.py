@@ -114,6 +114,17 @@ class GMRF:
             "use var()/std()/selinv"
         )
 
+    # ---- elementary arithmetic (reference src/arithmetic/elementary.jl) ----
+
+    def __add__(self, v):
+        """Shift by a deterministic vector: (x + v) ~ N(μ + v, Q⁻¹)."""
+        return dataclasses.replace(self, mean=self.mean + jnp.asarray(v))
+
+    __radd__ = __add__
+
+    def __sub__(self, v):
+        return dataclasses.replace(self, mean=self.mean - jnp.asarray(v))
+
 
 # Functional aliases (ergonomic for jax.grad / vmap call sites)
 
