@@ -30,7 +30,11 @@ def main():
     )
 
     n = 500
-    n_chains = 16
+    # The eval is latency-bound on a single chip: 256 vmapped chains cost
+    # nearly the same wall-clock as 16 (measured ~2.5 ms/leapfrog either
+    # way), so throughput/chip scales with the chain batch — the BASELINE
+    # scaling axis ("64+ NUTS chains").
+    n_chains = 256
     num_warmup = 100
     num_samples = 100
 
