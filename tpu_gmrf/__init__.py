@@ -106,6 +106,11 @@ from .fem import (
     product_matern,
     spatial_to_spatiotemporal,
 )
+from .parallel import (
+    pbtridiag_logdet,
+    pbtridiag_solve,
+    sharded_block_tridiag_solver,
+)
 from .samplers import (
     IdentityTransform,
     LogitTransform,
