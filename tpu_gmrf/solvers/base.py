@@ -60,7 +60,7 @@ def _large_sparse_kind(pattern) -> str:
     AMD fill-flops undercut banded by a healthy regularity margin.
     """
     from .banded import banded_plan
-    from .supernodal import supernodal_plan
+    from .supernodal import supernodal_symbolic_summary
 
     try:
         bplan = banded_plan(pattern, None)
@@ -68,12 +68,17 @@ def _large_sparse_kind(pattern) -> str:
     except Exception:
         return "supernodal"
     try:
-        splan = supernodal_plan(pattern)
+        summ = supernodal_symbolic_summary(pattern)
     except Exception:
+        return "banded"
+    # The supernodal schedule emits one kernel group per (level, size-class)
+    # bucket; past ~10² buckets the XLA graph (and eager dispatch) cost
+    # swamps the flop savings — stay banded there.
+    if summ["nbuckets"] > 128:
         return "banded"
     # MXU-regularity discount: banded runs dense fixed-shape scans, the
     # supernodal path pays gather/scatter overhead — require 8x fewer flops.
-    if splan["flops"] * 8.0 < banded_flops:
+    if summ["flops"] * 8.0 < banded_flops:
         return "supernodal"
     return "banded"
 

@@ -57,14 +57,17 @@ def _pow2_pad(x: int, floor: int = 8) -> int:
     return p
 
 
-def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
-    """Build (and cache) the symbolic plan for `pattern`."""
-    key = (pattern, max_width)
-    plan = _PLAN_CACHE.get(key)
-    if plan is not None:
-        return plan
+def _symbolic_core(pattern: SparsePattern, max_width: int):
+    """Cheap shared symbolic stage: ordering, etree, counts, supernodes,
+    levels — everything needed both for the solver-choice heuristic and for
+    the full plan. Cached separately from the (expensive) index-map build."""
+    key = ("core", pattern, max_width)
+    core = _PLAN_CACHE.get(key)
+    if core is not None:
+        return core
 
     from .. import native
+    import scipy.sparse as sp
 
     n = pattern.shape[0]
     S = pattern.to_scipy_bool()
@@ -75,8 +78,6 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
 
     # 1) fill-reducing ordering + postorder composition
     amd = native.amd_order(n, ap0, ai0)
-    import scipy.sparse as sp
-
     P = sp.csr_matrix(
         (np.ones(n, np.int8), (np.arange(n), amd)), shape=(n, n)
     )
@@ -95,18 +96,84 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
     apf = Sf.indptr.astype(np.int32)
     aif = Sf.indices.astype(np.int32)
 
-    # 2) etree / counts / fill on the final ordering
+    # 2) etree / counts / supernodes / levels on the final ordering
     parent = native.etree(n, apf, aif)
     counts = native.col_counts(n, apf, aif, parent)
-    lp, li = native.symbolic_fill(n, apf, aif, parent, counts)
-    nnzL = int(lp[-1])
     snode = native.supernode_partition(parent, counts, max_width)
     nsuper = int(snode[-1]) + 1 if n else 0
-
-    # supernode boundaries
     sn_start = np.zeros(nsuper + 1, dtype=np.int64)
     np.add.at(sn_start, snode + 1, 1)
     sn_start = np.cumsum(sn_start)
+
+    levels = np.zeros(nsuper, dtype=np.int64)
+    sn_parent = np.full(nsuper, -1, dtype=np.int64)
+    for s in range(nsuper):
+        pcol = parent[sn_start[s + 1] - 1]
+        if pcol != -1:
+            sn_parent[s] = snode[pcol]
+    for s in range(nsuper):
+        p = sn_parent[s]
+        if p != -1:
+            levels[p] = max(levels[p], levels[s] + 1)
+    nlevels = int(levels.max()) + 1 if nsuper else 0
+
+    # bucket census (no index maps): (level, ns_pad, m_pad) classes
+    ns_all = (sn_start[1:] - sn_start[:-1]).astype(np.int64)
+    m_all = counts[sn_start[:-1]].astype(np.int64) - ns_all
+    bucket_keys = set()
+    for s in range(nsuper):
+        bucket_keys.add(
+            (int(levels[s]), _pow2_pad(int(ns_all[s]), 4), _pow2_pad(int(m_all[s]), 8))
+        )
+
+    core = dict(
+        perm=perm,
+        apf=apf,
+        aif=aif,
+        parent=parent,
+        counts=counts,
+        snode=snode,
+        sn_start=sn_start,
+        levels=levels,
+        nlevels=nlevels,
+        nsuper=nsuper,
+        nbuckets=len(bucket_keys),
+        flops=float(np.sum(counts.astype(np.float64) ** 2)),
+    )
+    _PLAN_CACHE[key] = core
+    return core
+
+
+def supernodal_symbolic_summary(pattern: SparsePattern, max_width: int = 32):
+    """(flops, nbuckets, nlevels, nsuper) — cheap, for solver selection."""
+    core = _symbolic_core(pattern, max_width)
+    return dict(
+        flops=core["flops"],
+        nbuckets=core["nbuckets"],
+        nlevels=core["nlevels"],
+        nsuper=core["nsuper"],
+    )
+
+
+def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
+    """Build (and cache) the full symbolic plan for `pattern`."""
+    key = (pattern, max_width)
+    plan = _PLAN_CACHE.get(key)
+    if plan is not None:
+        return plan
+
+    from .. import native
+
+    core = _symbolic_core(pattern, max_width)
+    n = pattern.shape[0]
+    perm = core["perm"]
+    apf, aif = core["apf"], core["aif"]
+    parent, counts, snode = core["parent"], core["counts"], core["snode"]
+    sn_start, levels = core["sn_start"], core["levels"]
+    nsuper, nlevels = core["nsuper"], core["nlevels"]
+
+    lp, li = native.symbolic_fill(n, apf, aif, parent, counts)
+    nnzL = int(lp[-1])
 
     inv_perm = np.empty(n, dtype=np.int64)
     inv_perm[perm] = np.arange(n)
@@ -118,26 +185,15 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
     a_src = np.nonzero(lower)[0].astype(np.int32)
     lr = pr[lower]
     lc = pc[lower]
-    a_dst = np.empty(len(a_src), dtype=np.int64)
-    for t in range(len(a_src)):
-        j = lc[t]
-        seg = li[lp[j] : lp[j + 1]]
-        a_dst[t] = lp[j] + np.searchsorted(seg, lr[t])
-    a_dst = a_dst.astype(np.int32)
-
-    # per-supernode structures
-    levels = np.zeros(nsuper, dtype=np.int64)
-    sn_parent = np.full(nsuper, -1, dtype=np.int64)
-    for s in range(nsuper):
-        last = sn_start[s + 1] - 1
-        pcol = parent[last]
-        if pcol != -1:
-            sn_parent[s] = snode[pcol]
-    for s in range(nsuper):
-        p = sn_parent[s]
-        if p != -1:
-            levels[p] = max(levels[p], levels[s] + 1)
-    nlevels = int(levels.max()) + 1 if nsuper else 0
+    # vectorized position lookup: key-sort (col, row) of L entries once,
+    # then one batched searchsorted for all of A's lower entries
+    col_of_entry = np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(lp).astype(np.int64)
+    )
+    entry_key = col_of_entry * n + li.astype(np.int64)  # sorted ascending
+    a_dst = np.searchsorted(entry_key, lc.astype(np.int64) * n + lr).astype(
+        np.int32
+    )
 
     # bucket supernodes by (level, ns_pad, m_pad)
     buckets: dict = {}
@@ -152,12 +208,6 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
 
     # build padded index tables per bucket
     level_buckets: list = [[] for _ in range(nlevels)]
-    pos_cache: dict = {}
-
-    def pos_of(i, j):
-        """vals position of L entry (i, j), i >= j (permuted indices)."""
-        seg = li[lp[j] : lp[j + 1]]
-        return lp[j] + int(np.searchsorted(seg, i))
 
     DUMMY = nnzL  # one dummy slot appended to vals
     NDUMMY = n  # dummy slot for length-(n+1) vectors
@@ -182,11 +232,10 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
                 # off-diagonal rows R_s follow contiguously
                 panel_idx[b, W : W + m, c] = base + na + np.arange(m)
             if m:
-                for q in range(m):
-                    jq = rows[q]
-                    seg = li[lp[jq] : lp[jq + 1]]
-                    ps = np.searchsorted(seg, rows[q:])
-                    schur_idx[b, q:m, q] = lp[jq] + ps
+                # all lower pairs (p >= q) at once via the global entry key
+                pp, qq = np.tril_indices(m)
+                keys = rows[qq].astype(np.int64) * n + rows[pp]
+                schur_idx[b, pp, qq] = np.searchsorted(entry_key, keys)
         level_buckets[lev].append(
             dict(
                 W=W,
@@ -199,7 +248,8 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
             )
         )
 
-    diag_pos = np.array([pos_of(j, j) for j in range(n)], dtype=np.int32)
+    # the diagonal entry is emitted first in every column of L
+    diag_pos = lp[:-1].astype(np.int32)
 
     plan = dict(
         n=n,
@@ -210,6 +260,7 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
         li=li,
         a_src=a_src,
         a_dst=a_dst,
+        entry_key=entry_key,
         diag_pos=diag_pos,
         level_buckets=level_buckets,
         nlevels=nlevels,
@@ -446,21 +497,21 @@ class SupernodalFactor:
         posv = _SELINV_CACHE.get(key)
         if posv is None:
             plan = self.plan
-            lp, li = plan["lp"], plan["li"]
-            pr = plan["inv_perm"][pattern.rows]
-            pc = plan["inv_perm"][pattern.cols]
+            n = plan["n"]
+            entry_key = plan["entry_key"]
+            pr = plan["inv_perm"][pattern.rows].astype(np.int64)
+            pc = plan["inv_perm"][pattern.cols].astype(np.int64)
             lo = np.minimum(pr, pc)
             hi = np.maximum(pr, pc)
-            posv = np.empty(pattern.nnz, dtype=np.int32)
-            for t in range(pattern.nnz):
-                j = lo[t]
-                seg = li[lp[j] : lp[j + 1]]
-                k = np.searchsorted(seg, hi[t])
-                if k >= len(seg) or seg[k] != hi[t]:
-                    raise ValueError(
-                        "selinv pattern entry outside the Cholesky fill pattern"
-                    )
-                posv[t] = lp[j] + k
+            keys = lo * n + hi
+            posv = np.searchsorted(entry_key, keys)
+            if np.any(posv >= len(entry_key)) or np.any(
+                entry_key[np.minimum(posv, len(entry_key) - 1)] != keys
+            ):
+                raise ValueError(
+                    "selinv pattern entry outside the Cholesky fill pattern"
+                )
+            posv = posv.astype(np.int32)
             _SELINV_CACHE[key] = posv
         return posv
 
