@@ -304,3 +304,79 @@ def test_joint_gmrf(rng):
     np.testing.assert_allclose(
         Sig_joint[n:, n:], A @ Sig1 @ A.T + np.linalg.inv(Qe), rtol=1e-7
     )
+
+
+# ---- forward-mode AD through the inference stack (reference ext/forwarddiff/) ----
+
+
+def test_laplace_marginal_jacfwd_vs_fd(rng):
+    """Forward-mode (jacfwd) through laplace_marginal — the custom_jvp IFT
+    rule (reference ext/forwarddiff/autodiff_likelihood_ift.jl:1-27) — must
+    match finite differences and reverse mode."""
+    n = 20
+    model = AR1Model(n)
+    y = rng.poisson(2.0, size=n).astype(np.float64)
+    obs = ExponentialFamily("poisson")
+
+    def ml(params):
+        return laplace_marginal(
+            model, obs, y, {"tau": jnp.exp(params[0]), "rho": jnp.tanh(params[1])}
+        )
+
+    p0 = jnp.asarray([0.3, 0.5])
+    g_fwd = np.asarray(jax.jacfwd(ml)(p0))
+    g_rev = np.asarray(jax.grad(ml)(p0))
+    np.testing.assert_allclose(g_fwd, g_rev, rtol=1e-9)
+    for i in range(2):
+        eps = 1e-6
+        pp = np.asarray(p0).copy()
+        pm = np.asarray(p0).copy()
+        pp[i] += eps
+        pm[i] -= eps
+        fd = (float(ml(jnp.asarray(pp))) - float(ml(jnp.asarray(pm)))) / (2 * eps)
+        np.testing.assert_allclose(g_fwd[i], fd, rtol=2e-4, atol=1e-7)
+
+
+def test_laplace_marginal_hessian_fwd_over_rev(rng):
+    """jax.hessian (forward-over-reverse) of the Laplace marginal — the
+    INLA-style θ-posterior curvature — matches FD of the gradient."""
+    n = 16
+    model = AR1Model(n)
+    y = rng.poisson(2.0, size=n).astype(np.float64)
+    obs = ExponentialFamily("poisson")
+
+    def ml(params):
+        return laplace_marginal(
+            model, obs, y, {"tau": jnp.exp(params[0]), "rho": jnp.tanh(params[1])}
+        )
+
+    p0 = jnp.asarray([0.2, 0.3])
+    H = np.asarray(jax.hessian(ml)(p0))
+    np.testing.assert_allclose(H, H.T, rtol=1e-6, atol=1e-9)
+    eps = 1e-5
+    for j in range(2):
+        pp = np.asarray(p0).copy()
+        pm = np.asarray(p0).copy()
+        pp[j] += eps
+        pm[j] -= eps
+        fd_col = (
+            np.asarray(jax.grad(ml)(jnp.asarray(pp)))
+            - np.asarray(jax.grad(ml)(jnp.asarray(pm)))
+        ) / (2 * eps)
+        np.testing.assert_allclose(H[:, j], fd_col, rtol=5e-4, atol=1e-6)
+
+
+def test_laplace_marginal_jacfwd_constrained(rng):
+    """Forward mode through the KKT-constrained Newton (RW1 prior)."""
+    n = 15
+    model = RW1Model(n)
+    y = rng.poisson(2.0, size=n).astype(np.float64)
+    obs = ExponentialFamily("poisson")
+
+    def ml(log_tau):
+        return laplace_marginal(model, obs, y, {"tau": jnp.exp(log_tau)})
+
+    g = float(jax.jacfwd(ml)(jnp.asarray(0.4)))
+    eps = 1e-6
+    fd = (float(ml(jnp.asarray(0.4 + eps))) - float(ml(jnp.asarray(0.4 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=5e-4, atol=1e-7)

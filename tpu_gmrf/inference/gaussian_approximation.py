@@ -11,11 +11,16 @@ TPU-native architecture:
   refactorizations (the posterior pattern = prior ∪ obs-Hessian union is
   frozen at trace time, so every iteration is the same compiled kernel);
 - differentiation splits at the mode: `_newton_mode` carries a
-  `jax.custom_vjp` implementing the implicit-function-theorem pullback
-  (the math of reference src/autodiff/gaussian_approximation.jl:95-371,
-  including the KKT-projected adjoint solve), while the posterior precision
-  `Q_post = Q_prior − H(x*)` differentiates by ordinary JAX AD — explicit
-  and implicit θ-paths compose exactly as in the reference's A.2 recipe.
+  `jax.custom_jvp` implementing implicit-function-theorem differentiation
+  (the math of reference ext/forwarddiff/autodiff_likelihood_ift.jl:1-27:
+  primal Newton, then tangent dx* = −Q_post⁻¹·∂score/∂θ·θ̇ with KKT
+  projection when constrained). Because the tangent map is linear, JAX
+  derives reverse mode by transposition — one rule yields BOTH `jax.jvp`
+  (forward-over-reverse Hessians of the θ-posterior) and `jax.vjp` (the
+  IFT pullback of reference src/autodiff/gaussian_approximation.jl:95-371).
+  The posterior precision `Q_post = Q_prior − H(x*)` differentiates by
+  ordinary JAX AD — explicit and implicit θ-paths compose exactly as in
+  the reference's A.2 recipe.
 """
 
 from __future__ import annotations
@@ -72,17 +77,7 @@ def _project_step(step, factor, A, L_c_builder=None):
 
 
 
-def _neg_cotangent(t):
-    """Negate a cotangent tree, passing float0 leaves (integer inputs like
-    observation counts) through untouched."""
-    from jax.dtypes import float0
-
-    return jax.tree_util.tree_map(
-        lambda v: v if getattr(v, "dtype", None) == float0 else -v, t
-    )
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
 def _newton_mode(opts: GAOptions, Q_p, mu_p, obs_lik, x0, A):
     return _newton_mode_impl(opts, Q_p, mu_p, obs_lik, x0, A)
 
@@ -165,52 +160,40 @@ def _newton_mode_impl(opts, Q_p, mu_p, obs_lik, x0, A):
     return x_star
 
 
-def _newton_mode_fwd(opts, Q_p, mu_p, obs_lik, x0, A):
+@_newton_mode.defjvp
+def _newton_mode_jvp(opts, primals, tangents):
+    """IFT tangent: solve Q_post·dx* = −∂score/∂p·ṗ at the primal mode
+    (reference ext/forwarddiff/autodiff_likelihood_ift.jl:1-27, steps 1–3).
+    Constrained case: KKT-project the tangent so A·dx* = A·dx0 (e = A·x0).
+    The map ṗ ↦ dx* is linear, so `jax.linear_transpose` of this rule IS
+    the reverse-mode IFT pullback of the reference
+    (src/autodiff/gaussian_approximation.jl:278-347) — one rule, both modes.
+    """
+    Q_p, mu_p, obs_lik, x0, A = primals
+    dQ, dmu, dlik, dx0, _dA = tangents  # A is structural: dA ignored
     x_star = _newton_mode_impl(opts, Q_p, mu_p, obs_lik, x0, A)
-    return x_star, (Q_p, mu_p, obs_lik, x_star, A)
-
-
-def _newton_mode_bwd(opts, res, x_bar):
-    """IFT pullback: solve Q_post λ = x̄ (KKT-projected when constrained),
-    then p̄ = −λᵀ·∂(score)/∂p at fixed x*
-    (reference src/autodiff/gaussian_approximation.jl:278-347)."""
-    Q_p, mu_p, obs_lik, x_star, A = res
     H = _loghessian(obs_lik, x_star)
     Q_post = _posterior_pair(Q_p, H)
     factor = factorize(Q_post, opts.inner_solver)
-    z = factor.solve(x_bar)
-    if A is not None:
-        At_T = factor.solve(A.T)
-        L_c = jnp.linalg.cholesky(A @ At_T)
-        kappa = jsl.cho_solve((L_c, True), A @ z)
-        lam = z - At_T @ kappa
-    else:
-        lam = z
 
     def score(Q_p_, mu_p_, obs_lik_):
         return Q_p_.matvec(x_star - mu_p_) - obs_lik_.loggrad(x_star)
 
-    _, vjp = jax.vjp(score, Q_p, mu_p, obs_lik)
-    gQ, gmu, glik = vjp(lam)
-    neg = _neg_cotangent
-    # x0 only seeds the iteration (and fixes the constraint offset A·x0 = e;
-    # the e-sensitivity flows through x0 via A·x* = A·x0).
+    _, dscore = jax.jvp(score, (Q_p, mu_p, obs_lik), (dQ, dmu, dlik))
+    dx = factor.solve(-dscore)
     if A is not None:
-        x0_bar = A.T @ kappa
-        A_bar = jnp.zeros_like(A)  # structural; not differentiated
-    else:
-        x0_bar = jax.tree_util.tree_map(jnp.zeros_like, x_star)
-        A_bar = None
-    return neg(gQ), neg(gmu), neg(glik), x0_bar, A_bar
-
-
-_newton_mode.defvjp(_newton_mode_fwd, _newton_mode_bwd)
+        # KKT tangent system: project so the constraint residual tangent
+        # A·dx − A·dx0 vanishes (e-sensitivity enters through x0).
+        At_T = factor.solve(A.T)
+        L_c = jnp.linalg.cholesky(A @ At_T)
+        dx = dx - At_T @ jsl.cho_solve((L_c, True), A @ dx - A @ dx0)
+    return x_star, dx
 
 
 # ---- non-Gaussian latent priors (iterated re-linearization, TMB-style) -----
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
 def _newton_mode_nl(opts: GAOptions, prior, obs_lik, x0):
     return _newton_mode_nl_impl(opts, prior, obs_lik, x0)
 
@@ -288,29 +271,23 @@ def _newton_mode_nl_impl(opts, prior, obs_lik, x0):
     return x_star
 
 
-def _newton_mode_nl_fwd(opts, prior, obs_lik, x0):
+@_newton_mode_nl.defjvp
+def _newton_mode_nl_jvp(opts, primals, tangents):
+    """IFT tangent for the re-linearized (non-Gaussian prior) Newton mode;
+    linear in tangents, so reverse mode falls out by transposition."""
+    prior, obs_lik, x0 = primals
+    dprior, dlik, _dx0 = tangents  # mode is independent of the seed x0
     x_star = _newton_mode_nl_impl(opts, prior, obs_lik, x0)
-    return x_star, (prior, obs_lik, x_star)
-
-
-def _newton_mode_nl_bwd(opts, res, x_bar):
-    prior, obs_lik, x_star = res
     Q_p, _ = prior.local_quadratic(x_star)
     H = _loghessian(obs_lik, x_star)
     Q_post = _posterior_pair(Q_p, H)
     factor = factorize(Q_post, opts.inner_solver)
-    lam = factor.solve(x_bar)
 
     def score(prior_, obs_lik_):
         return -jax.grad(prior_.log_density)(x_star) - obs_lik_.loggrad(x_star)
 
-    _, vjp = jax.vjp(score, prior, obs_lik)
-    gp, gl = vjp(lam)
-    neg = _neg_cotangent
-    return neg(gp), neg(gl), jax.tree_util.tree_map(jnp.zeros_like, x_star)
-
-
-_newton_mode_nl.defvjp(_newton_mode_nl_fwd, _newton_mode_nl_bwd)
+    _, dscore = jax.jvp(score, (prior, obs_lik), (dprior, dlik))
+    return x_star, factor.solve(-dscore)
 
 
 def _is_conjugate_normal(obs_lik) -> bool:
