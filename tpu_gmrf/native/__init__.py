@@ -21,6 +21,7 @@ import numpy as np
 
 __all__ = [
     "amd_order",
+    "nd_order",
     "etree",
     "postorder",
     "col_counts",
@@ -71,6 +72,10 @@ def _load():
             return None
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.tpugmrf_amd.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
+        lib.tpugmrf_nd.argtypes = [
+            ctypes.c_int32, i32p, i32p, ctypes.c_int32, i32p,
+        ]
+        lib.tpugmrf_nd.restype = ctypes.c_int32
         lib.tpugmrf_etree.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
         lib.tpugmrf_postorder.argtypes = [ctypes.c_int32, i32p, i32p]
         lib.tpugmrf_colcounts.argtypes = [ctypes.c_int32, i32p, i32p, i32p, i32p]
@@ -128,6 +133,20 @@ def amd_order(n: int, indptr, indices) -> np.ndarray:
         if rc == 0:
             return perm
     return _amd_python(n, indptr, indices)
+
+
+def nd_order(n: int, indptr, indices, leaf: int = 96) -> np.ndarray:
+    """Nested-dissection permutation (BFS level-set bisection, AMD leaves):
+    perm[k] = old index of new k. Falls back to AMD when no native library
+    is available (same contract: a fill-reducing permutation)."""
+    indptr, indices = _check_csr(n, indptr, indices)
+    lib = _load()
+    if lib is not None:
+        perm = np.empty(n, dtype=np.int32)
+        rc = lib.tpugmrf_nd(n, _ptr(indptr), _ptr(indices), int(leaf), _ptr(perm))
+        if rc == 0:
+            return perm
+    return _nd_python(n, indptr, indices, leaf)
 
 
 def etree(n: int, indptr, indices) -> np.ndarray:
@@ -213,6 +232,79 @@ def _amd_python(n, indptr, indices):
         (np.ones(len(indices), dtype=np.int8), indices, indptr), shape=(n, n)
     )
     return np.asarray(reverse_cuthill_mckee(S, symmetric_mode=True), dtype=np.int32)
+
+
+def _nd_python(n, indptr, indices, leaf):
+    """Recursive BFS-bisection nested dissection (NumPy/scipy), matching the
+    native routine's contract. Used only when the C++ library is missing."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import breadth_first_order
+
+    S = sp.csr_matrix(
+        (np.ones(len(indices), dtype=np.int8), indices, indptr), shape=(n, n)
+    )
+    out = np.empty(n, dtype=np.int32)
+    pos = [0]
+
+    def emit(verts):
+        out[pos[0] : pos[0] + len(verts)] = verts
+        pos[0] += len(verts)
+
+    def levels_from(sub, start_local):
+        order, _ = breadth_first_order(sub, start_local, directed=False)
+        lev = np.full(sub.shape[0], -1, dtype=np.int64)
+        lev[start_local] = 0
+        # BFS by sparse matvec frontier expansion
+        frontier = np.zeros(sub.shape[0], bool)
+        frontier[start_local] = True
+        seen = frontier.copy()
+        d = 0
+        while frontier.any():
+            d += 1
+            nxt = (sub @ frontier.astype(np.int8)) > 0
+            nxt &= ~seen
+            lev[nxt] = d
+            seen |= nxt
+            frontier = nxt
+        return lev
+
+    def rec(verts):
+        m = len(verts)
+        if m <= max(leaf, 4):
+            sub = S[verts][:, verts]
+            emit(verts[amd_order(m, sub.indptr, sub.indices)])
+            return
+        sub = S[verts][:, verts].tocsr()
+        lev = levels_from(sub, 0)
+        if (lev >= 0).all():
+            far = int(np.argmax(lev))
+            lev = levels_from(sub, far)
+        lev[lev < 0] = lev.max() + 1  # disconnected pieces at the far end
+        maxlev = int(lev.max())
+        if maxlev < 2:
+            sub2 = S[verts][:, verts]
+            emit(verts[amd_order(m, sub2.indptr, sub2.indices)])
+            return
+        csum = np.cumsum(np.bincount(lev, minlength=maxlev + 1))
+        cut = int(np.searchsorted(csum, (m + 1) // 2))
+        cut = min(max(cut, 1), maxlev - 1)
+        amask = lev < cut
+        bmask = lev > cut
+        smask = lev == cut
+        # shrink separator: cut-level vertices with no cut+1 neighbour go to A
+        nb_next = (sub @ (lev == cut + 1).astype(np.int8)) > 0
+        amask |= smask & ~nb_next
+        smask &= nb_next
+        if not amask.any() or not bmask.any():
+            sub2 = S[verts][:, verts]
+            emit(verts[amd_order(m, sub2.indptr, sub2.indices)])
+            return
+        rec(verts[amask])
+        rec(verts[bmask])
+        emit(verts[smask])
+
+    rec(np.arange(n, dtype=np.int32))
+    return out
 
 
 def _etree_python(n, indptr, indices):

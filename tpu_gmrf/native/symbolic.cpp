@@ -287,4 +287,196 @@ int tpugmrf_supernodes(int32_t n, const int32_t* parent, const int32_t* counts,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Nested dissection ordering (George 1973 style): recursive BFS level-set
+// bisection; separators are ordered last, leaf subgraphs are ordered with
+// the AMD routine above. This is the fill-reducing ordering for large
+// mesh-like patterns (2D grid fill O(n log n), flops O(n^1.5)) where plain
+// AMD's elimination tree is too deep/irregular for the level-scheduled
+// batched numeric factorization.
+//
+// perm[k] = original index of the vertex eliminated at step k.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct NDWork {
+  const int32_t* ap;
+  const int32_t* ai;
+  int32_t leaf;
+  std::vector<int32_t> part;    // current subproblem id per vertex (-1 = done)
+  std::vector<int32_t> level;   // BFS levels within a subproblem
+  std::vector<int32_t> queue;   // BFS queue
+  std::vector<int32_t> localid; // global -> local id for leaf AMD
+  std::vector<int32_t> sub_ap, sub_ai, sub_perm;  // leaf subgraph scratch
+  int32_t next_id = 0;
+};
+
+// Order subproblem `verts` (contiguous slice) into out[0..len).
+void nd_recurse(NDWork& W, int32_t* verts, int32_t len, int32_t* out) {
+  if (len <= 0) return;
+  if (len <= W.leaf) {
+    // AMD on the leaf subgraph.
+    for (int32_t i = 0; i < len; ++i) W.localid[verts[i]] = i;
+    W.sub_ap.assign(len + 1, 0);
+    W.sub_ai.clear();
+    int32_t myid = W.part[verts[0]];
+    for (int32_t i = 0; i < len; ++i) {
+      int32_t v = verts[i];
+      for (int32_t p = W.ap[v]; p < W.ap[v + 1]; ++p) {
+        int32_t u = W.ai[p];
+        if (u != v && W.part[u] == myid) W.sub_ai.push_back(W.localid[u]);
+      }
+      W.sub_ap[i + 1] = (int32_t)W.sub_ai.size();
+    }
+    W.sub_perm.resize(len);
+    if (len > 2 &&
+        tpugmrf_amd(len, W.sub_ap.data(), W.sub_ai.data(),
+                    W.sub_perm.data()) == 0) {
+      for (int32_t i = 0; i < len; ++i) out[i] = verts[W.sub_perm[i]];
+    } else {
+      for (int32_t i = 0; i < len; ++i) out[i] = verts[i];
+    }
+    for (int32_t i = 0; i < len; ++i) W.part[out[i]] = -1;
+    return;
+  }
+
+  int32_t myid = W.part[verts[0]];
+
+  // Pseudo-peripheral start: BFS twice from within the subproblem. BFS
+  // restarts cover disconnected pieces (levels keep growing across restarts
+  // so components are separated along the level axis).
+  int32_t start = verts[0];
+  for (int rep = 0; rep < 2; ++rep) {
+    for (int32_t i = 0; i < len; ++i) W.level[verts[i]] = -1;
+    W.queue.clear();
+    W.queue.push_back(start);
+    W.level[start] = 0;
+    size_t qh = 0;
+    int32_t last = start;
+    int32_t scanned = 0;  // restart cursor into verts
+    while ((int32_t)(W.queue.size()) < len) {
+      if (qh == W.queue.size()) {  // disconnected: restart one level deeper
+        while (scanned < len && W.level[verts[scanned]] != -1) ++scanned;
+        if (scanned >= len) break;
+        W.level[verts[scanned]] = W.level[last] + 1;
+        W.queue.push_back(verts[scanned]);
+      }
+      int32_t v = W.queue[qh++];
+      last = v;
+      for (int32_t p = W.ap[v]; p < W.ap[v + 1]; ++p) {
+        int32_t u = W.ai[p];
+        if (u != v && W.part[u] == myid && W.level[u] == -1) {
+          W.level[u] = W.level[v] + 1;
+          W.queue.push_back(u);
+        }
+      }
+    }
+    start = last;
+  }
+
+  int32_t maxlev = 0;
+  for (int32_t i = 0; i < len; ++i)
+    maxlev = std::max(maxlev, W.level[verts[i]]);
+
+  if (maxlev < 2) {
+    // No usable level structure (clique-like); order as one AMD leaf.
+    int32_t save = W.leaf;
+    W.leaf = len;
+    nd_recurse(W, verts, len, out);
+    W.leaf = save;
+    return;
+  }
+
+  // Cut at the level where the cumulative count reaches half.
+  std::vector<int32_t> lcount(maxlev + 1, 0);
+  for (int32_t i = 0; i < len; ++i) ++lcount[W.level[verts[i]]];
+  int32_t cut = 1, acc = 0;
+  for (int32_t l = 0; l <= maxlev; ++l) {
+    acc += lcount[l];
+    if (acc * 2 >= len) {
+      cut = std::min<int32_t>(std::max<int32_t>(l, 1), maxlev - 1);
+      break;
+    }
+  }
+
+  // Separator = cut level set, shrunk to vertices actually adjacent to the
+  // far side (level cut+1); the rest of the cut level joins side A.
+  int32_t na = 0, nb = 0, ns = 0;
+  std::vector<int32_t> A, B, S;
+  A.reserve(len);
+  B.reserve(len);
+  for (int32_t i = 0; i < len; ++i) {
+    int32_t v = verts[i];
+    int32_t lv = W.level[v];
+    if (lv < cut) {
+      A.push_back(v);
+    } else if (lv > cut) {
+      B.push_back(v);
+    } else {
+      bool touches_b = false;
+      for (int32_t p = W.ap[v]; p < W.ap[v + 1] && !touches_b; ++p) {
+        int32_t u = W.ai[p];
+        if (u != v && W.part[u] == myid && W.level[u] == cut + 1)
+          touches_b = true;
+      }
+      if (touches_b)
+        S.push_back(v);
+      else
+        A.push_back(v);
+    }
+  }
+  na = (int32_t)A.size();
+  nb = (int32_t)B.size();
+  ns = (int32_t)S.size();
+  if (na == 0 || nb == 0) {  // degenerate split: fall back to AMD leaf
+    int32_t save = W.leaf;
+    W.leaf = len;
+    nd_recurse(W, verts, len, out);
+    W.leaf = save;
+    return;
+  }
+
+  // Repack verts as [A | B | S]; give A and B fresh subproblem ids.
+  int32_t ida = ++W.next_id, idb = ++W.next_id;
+  for (int32_t i = 0; i < na; ++i) {
+    verts[i] = A[i];
+    W.part[A[i]] = ida;
+  }
+  for (int32_t i = 0; i < nb; ++i) {
+    verts[na + i] = B[i];
+    W.part[B[i]] = idb;
+  }
+  for (int32_t i = 0; i < ns; ++i) {
+    verts[na + nb + i] = S[i];
+    out[na + nb + i] = S[i];  // separator eliminated last, BFS order
+    W.part[S[i]] = -1;
+  }
+  nd_recurse(W, verts, na, out);
+  nd_recurse(W, verts + na, nb, out + na);
+}
+
+}  // namespace
+
+int tpugmrf_nd(int32_t n, const int32_t* ap, const int32_t* ai,
+               int32_t leaf, int32_t* perm) {
+  if (n <= 0) return 0;
+  NDWork W;
+  W.ap = ap;
+  W.ai = ai;
+  W.leaf = std::max<int32_t>(leaf, 4);
+  W.part.assign(n, 0);
+  W.level.assign(n, -1);
+  W.localid.assign(n, -1);
+  std::vector<int32_t> verts(n);
+  for (int32_t i = 0; i < n; ++i) verts[i] = i;
+  nd_recurse(W, verts.data(), n, perm);
+  // Validate: perm must be a permutation.
+  std::vector<int8_t> seen(n, 0);
+  for (int32_t i = 0; i < n; ++i) {
+    if (perm[i] < 0 || perm[i] >= n || seen[perm[i]]) return 1;
+    seen[perm[i]] = 1;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -57,11 +57,82 @@ def _pow2_pad(x: int, floor: int = 8) -> int:
     return p
 
 
-def _symbolic_core(pattern: SparsePattern, max_width: int):
-    """Cheap shared symbolic stage: ordering, etree, counts, supernodes,
-    levels — everything needed both for the solver-choice heuristic and for
-    the full plan. Cached separately from the (expensive) index-map build."""
-    key = ("core", pattern, max_width)
+def _amalgamate(parent, counts, sn_start_f, max_width):
+    """Relaxed-supernode amalgamation (CHOLMOD-style).
+
+    Merges a fundamental supernode chain into its parent when the explicit
+    zeros introduced stay under a width-tiered fraction (w≤4 always; w≤16 at
+    ≤80%; w≤48 at ≤10%; otherwise ≤5%). This is what keeps the level
+    schedule shallow and the dense blocks MXU-sized at large n: nested-
+    dissection separators collapse into single wide supernodes.
+
+    Returns (sn_start_merged, top_first_col, m_merged) where top_first_col[s]
+    is the first column of the parent-most fundamental constituent (whose
+    below-supernode row set IS the merged supernode's row set, by the etree
+    column-containment property) and m_merged[s] = |R_s|.
+    """
+    nf = len(sn_start_f) - 1
+    first_f = sn_start_f[:-1].astype(np.int64)
+    ns_f = (sn_start_f[1:] - sn_start_f[:-1]).astype(np.int64)
+    m_f = counts[first_f].astype(np.int64) - ns_f  # |R| per fundamental
+    csum = np.concatenate([[0], np.cumsum(counts.astype(np.int64))])
+
+    # stack entries: [start_col, end_col, top_fund_idx, actual_nnz]
+    st_s0 = np.empty(nf, np.int64)
+    st_e1 = np.empty(nf, np.int64)
+    st_top = np.empty(nf, np.int64)
+    st_nnz = np.empty(nf, np.int64)
+    top = -1
+    for f in range(nf):
+        s0 = int(first_f[f])
+        e1 = s0 + int(ns_f[f])
+        tf = f
+        nnz = int(csum[e1] - csum[s0])
+        while top >= 0:
+            pe = int(st_e1[top])
+            if pe != s0:
+                break
+            pcol = int(parent[pe - 1])
+            if pcol < 0 or pcol >= e1:
+                break  # last col of the stack top escapes this supernode
+            w = e1 - int(st_s0[top])
+            if w > max_width:
+                break
+            mR = int(m_f[tf])
+            new_nnz = w * (w + 1) // 2 + w * mR
+            act = nnz + int(st_nnz[top])
+            z = 1.0 - act / new_nnz if new_nnz else 0.0
+            ok = (
+                w <= 4
+                or (w <= 16 and z <= 0.8)
+                or (w <= 48 and z <= 0.1)
+                or z <= 0.05
+            )
+            if not ok:
+                break
+            s0 = int(st_s0[top])
+            nnz = act
+            top -= 1
+        top += 1
+        st_s0[top] = s0
+        st_e1[top] = e1
+        st_top[top] = tf
+        st_nnz[top] = nnz
+    nm = top + 1
+    sn_start = np.empty(nm + 1, np.int64)
+    sn_start[:nm] = st_s0[:nm]
+    sn_start[nm] = st_e1[nm - 1] if nm else 0
+    top_first = first_f[st_top[:nm]]
+    m_merged = m_f[st_top[:nm]]
+    return sn_start, top_first, m_merged
+
+
+def _symbolic_core(pattern: SparsePattern, max_width: int, ordering: str):
+    """Cheap shared symbolic stage: ordering, etree, counts, supernodes
+    (fundamental + amalgamated), levels — everything needed both for the
+    solver-choice heuristic and for the full plan. Cached separately from
+    the (expensive) index-map build."""
+    key = ("core", pattern, max_width, ordering)
     core = _PLAN_CACHE.get(key)
     if core is not None:
         return core
@@ -76,10 +147,17 @@ def _symbolic_core(pattern: SparsePattern, max_width: int):
     ap0 = S.indptr.astype(np.int32)
     ai0 = S.indices.astype(np.int32)
 
-    # 1) fill-reducing ordering + postorder composition
-    amd = native.amd_order(n, ap0, ai0)
+    # 1) fill-reducing ordering + postorder composition. Nested dissection
+    #    for large mesh-like patterns (bounded-depth etree, wide dense
+    #    separator supernodes); AMD for small/irregular ones.
+    if ordering == "auto":
+        ordering = "nd" if n > 16384 else "amd"
+    if ordering == "nd":
+        base = native.nd_order(n, ap0, ai0)
+    else:
+        base = native.amd_order(n, ap0, ai0)
     P = sp.csr_matrix(
-        (np.ones(n, np.int8), (np.arange(n), amd)), shape=(n, n)
+        (np.ones(n, np.int8), (np.arange(n), base)), shape=(n, n)
     )
     Sp = (P @ S @ P.T).tocsr()
     Sp.sort_indices()
@@ -87,7 +165,7 @@ def _symbolic_core(pattern: SparsePattern, max_width: int):
         n, Sp.indptr.astype(np.int32), Sp.indices.astype(np.int32)
     )
     post = native.postorder(parent0)
-    perm = amd[post]  # perm[k] = original index of permuted column k
+    perm = base[post]  # perm[k] = original index of permuted column k
     Pf = sp.csr_matrix(
         (np.ones(n, np.int8), (np.arange(n), perm)), shape=(n, n)
     )
@@ -96,35 +174,46 @@ def _symbolic_core(pattern: SparsePattern, max_width: int):
     apf = Sf.indptr.astype(np.int32)
     aif = Sf.indices.astype(np.int32)
 
-    # 2) etree / counts / supernodes / levels on the final ordering
+    # 2) etree / counts / fundamental supernodes on the final ordering
     parent = native.etree(n, apf, aif)
     counts = native.col_counts(n, apf, aif, parent)
-    snode = native.supernode_partition(parent, counts, max_width)
-    nsuper = int(snode[-1]) + 1 if n else 0
-    sn_start = np.zeros(nsuper + 1, dtype=np.int64)
-    np.add.at(sn_start, snode + 1, 1)
-    sn_start = np.cumsum(sn_start)
+    snode_f = native.supernode_partition(parent, counts, max_width)
+    nsf = int(snode_f[-1]) + 1 if n else 0
+    sn_start_f = np.zeros(nsf + 1, dtype=np.int64)
+    np.add.at(sn_start_f, snode_f.astype(np.int64) + 1, 1)
+    sn_start_f = np.cumsum(sn_start_f)
+
+    # 3) relaxed amalgamation → merged supernodes with explicit-zero padding
+    sn_start, top_first, m_all = _amalgamate(
+        parent, counts, sn_start_f, max_width
+    )
+    nsuper = len(sn_start) - 1
+    ns_all = sn_start[1:] - sn_start[:-1]
+    snode = np.repeat(np.arange(nsuper, dtype=np.int64), ns_all)
 
     levels = np.zeros(nsuper, dtype=np.int64)
     sn_parent = np.full(nsuper, -1, dtype=np.int64)
-    for s in range(nsuper):
-        pcol = parent[sn_start[s + 1] - 1]
-        if pcol != -1:
-            sn_parent[s] = snode[pcol]
+    last_cols = sn_start[1:] - 1
+    pcols = parent[last_cols]
+    has_p = pcols != -1
+    sn_parent[has_p] = snode[pcols[has_p]]
     for s in range(nsuper):
         p = sn_parent[s]
         if p != -1:
             levels[p] = max(levels[p], levels[s] + 1)
     nlevels = int(levels.max()) + 1 if nsuper else 0
 
+    # amalgamated per-column counts and flops
+    counts2 = (
+        np.arange(n, dtype=np.int64) * -1
+        + sn_start[snode + 1]
+        + m_all[snode]
+    )
     # bucket census (no index maps): (level, ns_pad, m_pad) classes
-    ns_all = (sn_start[1:] - sn_start[:-1]).astype(np.int64)
-    m_all = counts[sn_start[:-1]].astype(np.int64) - ns_all
-    bucket_keys = set()
-    for s in range(nsuper):
-        bucket_keys.add(
-            (int(levels[s]), _pow2_pad(int(ns_all[s]), 4), _pow2_pad(int(m_all[s]), 8))
-        )
+    bucket_keys = {
+        (int(levels[s]), _pow2_pad(int(ns_all[s]), 4), _pow2_pad(int(m_all[s]), 8))
+        for s in range(nsuper)
+    }
 
     core = dict(
         perm=perm,
@@ -132,21 +221,26 @@ def _symbolic_core(pattern: SparsePattern, max_width: int):
         aif=aif,
         parent=parent,
         counts=counts,
+        counts2=counts2,
         snode=snode,
         sn_start=sn_start,
+        top_first=top_first,
+        m_all=m_all,
         levels=levels,
         nlevels=nlevels,
         nsuper=nsuper,
         nbuckets=len(bucket_keys),
-        flops=float(np.sum(counts.astype(np.float64) ** 2)),
+        flops=float(np.sum(counts2.astype(np.float64) ** 2)),
     )
     _PLAN_CACHE[key] = core
     return core
 
 
-def supernodal_symbolic_summary(pattern: SparsePattern, max_width: int = 32):
+def supernodal_symbolic_summary(
+    pattern: SparsePattern, max_width: int = 2048, ordering: str = "auto"
+):
     """(flops, nbuckets, nlevels, nsuper) — cheap, for solver selection."""
-    core = _symbolic_core(pattern, max_width)
+    core = _symbolic_core(pattern, max_width, ordering)
     return dict(
         flops=core["flops"],
         nbuckets=core["nbuckets"],
@@ -155,25 +249,60 @@ def supernodal_symbolic_summary(pattern: SparsePattern, max_width: int = 32):
     )
 
 
-def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
-    """Build (and cache) the full symbolic plan for `pattern`."""
-    key = (pattern, max_width)
+def supernodal_plan(
+    pattern: SparsePattern, max_width: int = 2048, ordering: str = "auto"
+):
+    """Build (and cache) the full symbolic plan for `pattern`.
+
+    The plan targets the *amalgamated* fill pattern: each merged supernode
+    stores a dense (w×w lower + m×w) panel in flat CSC order, including the
+    explicit zeros amalgamation introduced. All index tables are built
+    vectorized per supernode so the host cost is O(nnzL + Σ m²) — a one-off
+    of a few seconds even at 10⁶ columns.
+    """
+    key = (pattern, max_width, ordering)
     plan = _PLAN_CACHE.get(key)
     if plan is not None:
         return plan
 
     from .. import native
 
-    core = _symbolic_core(pattern, max_width)
+    core = _symbolic_core(pattern, max_width, ordering)
     n = pattern.shape[0]
     perm = core["perm"]
     apf, aif = core["apf"], core["aif"]
-    parent, counts, snode = core["parent"], core["counts"], core["snode"]
+    parent, counts = core["parent"], core["counts"]
     sn_start, levels = core["sn_start"], core["levels"]
+    top_first, m_all = core["top_first"], core["m_all"]
     nsuper, nlevels = core["nsuper"], core["nlevels"]
+    counts2 = core["counts2"]
 
-    lp, li = native.symbolic_fill(n, apf, aif, parent, counts)
+    # fundamental fill — only needed to read each merged supernode's row set
+    lp_f, li_f = native.symbolic_fill(n, apf, aif, parent, counts)
+
+    # synthesize the amalgamated CSC fill: column j of supernode s holds
+    # rows [j .. j1) followed by R_s (sorted, all > j1-1)
+    lp = np.zeros(n + 1, dtype=np.int64)
+    lp[1:] = np.cumsum(counts2)
     nnzL = int(lp[-1])
+    li = np.empty(nnzL, dtype=np.int32)
+    sn_rows: list = []
+    for s in range(nsuper):
+        j0 = int(sn_start[s])
+        j1 = int(sn_start[s + 1])
+        ns = j1 - j0
+        jt = int(top_first[s])
+        wt = j1 - jt
+        R = li_f[lp_f[jt] + wt : lp_f[jt + 1]]
+        m = len(R)
+        sn_rows.append(R)
+        base = lp[j0 : j0 + ns]  # (ns,) start offsets per column
+        rr, cc = np.tril_indices(ns)
+        li[base[cc] + (rr - cc)] = j0 + rr
+        if m:
+            c_arr = np.arange(ns, dtype=np.int64)
+            idx = base[None, :] + (ns - c_arr)[None, :] + np.arange(m)[:, None]
+            li[idx] = R[:, None]
 
     inv_perm = np.empty(n, dtype=np.int64)
     inv_perm[perm] = np.arange(n)
@@ -199,9 +328,8 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
     buckets: dict = {}
     for s in range(nsuper):
         j0 = int(sn_start[s])
-        j1 = int(sn_start[s + 1])
-        ns = j1 - j0
-        rows = li[lp[j0] + ns : lp[j0 + 1]]  # R_s (strictly below the snode)
+        ns = int(sn_start[s + 1]) - j0
+        rows = sn_rows[s]  # R_s (strictly below the snode)
         m = len(rows)
         bk = (int(levels[s]), _pow2_pad(ns, 4), _pow2_pad(m, 8))
         buckets.setdefault(bk, []).append((j0, ns, rows))
@@ -224,14 +352,18 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
             cols_idx[b, :ns] = np.arange(j0, j0 + ns)
             col_mask[b, :ns] = True
             rows_idx[b, :m] = rows
-            for c in range(ns):
-                base = lp[j0 + c]
-                # diagonal block: rows j0+c .. j0+ns-1 are the first entries
-                na = ns - c
-                panel_idx[b, c : c + na, c] = base + np.arange(na)
-                # off-diagonal rows R_s follow contiguously
-                panel_idx[b, W : W + m, c] = base + na + np.arange(m)
+            base = lp[j0 : j0 + ns]
+            rr, cc = np.tril_indices(ns)
+            # diagonal block: rows j0+c .. j0+ns-1 are the first entries
+            panel_idx[b, rr, cc] = base[cc] + (rr - cc)
             if m:
+                # off-diagonal rows R_s follow contiguously per column
+                c_arr = np.arange(ns, dtype=np.int64)
+                panel_idx[b, W : W + m, :ns] = (
+                    base[None, :]
+                    + (ns - c_arr)[None, :]
+                    + np.arange(m)[:, None]
+                )
                 # all lower pairs (p >= q) at once via the global entry key
                 pp, qq = np.tril_indices(m)
                 keys = rows[qq].astype(np.int64) * n + rows[pp]
@@ -265,7 +397,7 @@ def supernodal_plan(pattern: SparsePattern, max_width: int = 32):
         level_buckets=level_buckets,
         nlevels=nlevels,
         nsuper=nsuper,
-        flops=float(np.sum(counts.astype(np.float64) ** 2)),
+        flops=core["flops"],
     )
     _PLAN_CACHE[key] = plan
     return plan
@@ -531,9 +663,9 @@ class SupernodalFactor:
 
 
 def supernodal_factorize(
-    Q: SparseMatrix, max_width: int = 32
+    Q: SparseMatrix, max_width: int = 2048, ordering: str = "auto"
 ) -> SupernodalFactor:
     if not Q.pattern.is_symmetric:
         raise ValueError("supernodal backend requires a symmetric pattern")
-    supernodal_plan(Q.pattern, max_width)  # ensure cached
-    return SupernodalFactor._factorize(Q, (Q.pattern, max_width))
+    supernodal_plan(Q.pattern, max_width, ordering)  # ensure cached
+    return SupernodalFactor._factorize(Q, (Q.pattern, max_width, ordering))
