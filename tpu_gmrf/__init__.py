@@ -31,6 +31,7 @@ from .linear_maps import (
     ZeroMap,
     block_tridiag_to_sparse,
     sparse_jacobian_map,
+    sparse_hessian_map,
 )
 from .workspace import (
     GMRFWorkspace,
@@ -57,6 +58,7 @@ from .models import (
 )
 from .models.nongaussian import (
     AutoDiffLatentPrior,
+    detect_hessian_pattern,
     FactorGroup,
     LatentPrior,
     StructuredLatentPrior,

@@ -32,6 +32,8 @@ __all__ = [
     "CholeskySqrtMap",
     "ADJacobianMap",
     "sparse_jacobian_map",
+    "sparse_hessian_map",
+    "pattern_column_coloring",
     "block_tridiag_to_sparse",
 ]
 
@@ -197,21 +199,15 @@ class ADJacobianMap:
         return self.matvec(v)
 
 
-def sparse_jacobian_map(f, x_ref, pattern):
-    """Sparse Jacobian of `f` at `x_ref` restricted to a known `pattern`.
+_COLOR_CACHE: dict = {}
 
-    Column-colored forward-mode: structurally independent columns (no shared
-    output row) share one jvp, so the number of passes is the pattern's
-    chromatic number rather than n — the JAX equivalent of the reference's
-    SparseConnectivityTracer + coloring extension
-    (reference ext/GaussianMarkovRandomFieldsSparseJacobian.jl).
-    Returns a `SparseMatrix` on `pattern`.
-    """
-    from .sparse.matrix import SparseMatrix
 
-    n = int(x_ref.shape[0])
-    # greedy distance-2 coloring on the host (columns conflicting if they
-    # touch a common row)
+def pattern_column_coloring(pattern, n: int):
+    """Greedy distance-2 column coloring of `pattern` (columns conflict when
+    they touch a common row). Cached per pattern. Returns (color, ncolors)."""
+    cached = _COLOR_CACHE.get(pattern)
+    if cached is not None:
+        return cached
     rows_of_col = [[] for _ in range(n)]
     for r, c in zip(pattern.rows, pattern.cols):
         rows_of_col[int(c)].append(int(r))
@@ -229,6 +225,24 @@ def sparse_jacobian_map(f, x_ref, pattern):
         ncolors = max(ncolors, k + 1)
         for r in rows_of_col[c]:
             row_color_used.setdefault(r, set()).add(k)
+    _COLOR_CACHE[pattern] = (color, ncolors)
+    return color, ncolors
+
+
+def sparse_jacobian_map(f, x_ref, pattern):
+    """Sparse Jacobian of `f` at `x_ref` restricted to a known `pattern`.
+
+    Column-colored forward-mode: structurally independent columns (no shared
+    output row) share one jvp, so the number of passes is the pattern's
+    chromatic number rather than n — the JAX equivalent of the reference's
+    SparseConnectivityTracer + coloring extension
+    (reference ext/GaussianMarkovRandomFieldsSparseJacobian.jl).
+    Returns a `SparseMatrix` on `pattern`.
+    """
+    from .sparse.matrix import SparseMatrix
+
+    n = int(x_ref.shape[0])
+    color, ncolors = pattern_column_coloring(pattern, n)
     seeds = np.zeros((ncolors, n), dtype=np.float64)
     seeds[color, np.arange(n)] = 1.0
     seeds = jnp.asarray(seeds, dtype=x_ref.dtype)
@@ -238,6 +252,17 @@ def sparse_jacobian_map(f, x_ref, pattern):
     # entry (r, c) lives in the pass of color[c] at output row r
     data = jv[jnp.asarray(color[pattern.cols]), jnp.asarray(pattern.rows)]
     return SparseMatrix(data, pattern)
+
+
+def sparse_hessian_map(g, x_ref, pattern):
+    """Sparse Hessian of scalar `g` at `x_ref` restricted to symmetric
+    `pattern`, via colored forward-over-reverse HVPs: columns of ∇²g sharing
+    a color are probed by ONE jvp-of-grad pass, so the cost is
+    (chromatic number) HVPs instead of n — never materializing an n×n array.
+    The JAX counterpart of the reference's sparse-AD Hessian extension
+    (reference ext/GaussianMarkovRandomFieldsSparseADLikelihoods.jl:1-97).
+    """
+    return sparse_jacobian_map(jax.grad(g), x_ref, pattern)
 
 
 def block_tridiag_to_sparse(m: SymmetricBlockTridiagonalMap):

@@ -6,7 +6,7 @@ from .besag import BesagModel, BYM2Model
 from .combined import CombinedModel
 from .separable import SeparableModel
 from .car import CARModel, generate_car_model
-from .nongaussian import LatentPrior, AutoDiffLatentPrior, StructuredLatentPrior, FactorGroup
+from .nongaussian import LatentPrior, AutoDiffLatentPrior, StructuredLatentPrior, FactorGroup, detect_hessian_pattern
 
 __all__ = [
     "LatentModel",
@@ -26,6 +26,7 @@ __all__ = [
     "generate_car_model",
     "LatentPrior",
     "AutoDiffLatentPrior",
+    "detect_hessian_pattern",
     "StructuredLatentPrior",
     "FactorGroup",
 ]

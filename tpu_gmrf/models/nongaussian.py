@@ -24,7 +24,13 @@ import numpy as np
 from ..sparse.matrix import SparseMatrix
 from ..sparse.pattern import SparsePattern, diag_pattern, union_patterns
 
-__all__ = ["LatentPrior", "AutoDiffLatentPrior", "StructuredLatentPrior", "FactorGroup"]
+__all__ = [
+    "LatentPrior",
+    "AutoDiffLatentPrior",
+    "StructuredLatentPrior",
+    "FactorGroup",
+    "detect_hessian_pattern",
+]
 
 
 class LatentPrior:
@@ -47,23 +53,58 @@ def _dense_pattern(n):
     return SparsePattern(rows.ravel(), cols.ravel(), (n, n))
 
 
+def detect_hessian_pattern(fn, n: int, theta=None, nprobe: int = 3) -> SparsePattern:
+    """Probe the structural Hessian sparsity of `fn(x, **theta)` by
+    evaluating the dense Hessian at `nprobe` random points and keeping
+    entries nonzero at any of them (symmetrized, diagonal always kept).
+
+    This is a host-side O(n²) probe — use it once at model-build time on a
+    moderate n, or pass a known pattern directly; the reference's
+    SparseConnectivityTracer plays this role symbolically
+    (reference ext/GaussianMarkovRandomFieldsSparseADLikelihoods.jl:21-52).
+    """
+    if n > 8192:
+        raise ValueError(
+            "detect_hessian_pattern materializes an n*n probe; pass an "
+            "explicit SparsePattern for n > 8192"
+        )
+    theta = theta or {}
+    rng = np.random.default_rng(0)
+    mask = np.zeros((n, n), dtype=bool)
+    h = jax.jit(jax.hessian(lambda x: fn(x, **theta)))
+    for _ in range(nprobe):
+        x = jnp.asarray(rng.standard_normal(n) * 0.7)
+        mask |= np.abs(np.asarray(h(x))) > 0
+    mask |= mask.T
+    mask |= np.eye(n, dtype=bool)
+    return SparsePattern.from_dense_mask(mask)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AutoDiffLatentPrior(LatentPrior):
-    """Prior defined by a scalar log-density fn(x, **theta). Hessian 'dense'
-    (exact) or 'diag' (valid only for separable log-densities)."""
+    """Prior defined by a scalar log-density fn(x, **theta). `hessian` is
+    'dense' (exact, O(n²) — small n only), 'diag' (valid only for separable
+    log-densities), or a symmetric `SparsePattern`: colored HVP extraction
+    restricted to the pattern, never materializing an n×n array
+    (reference ext/GaussianMarkovRandomFieldsSparseADLikelihoods.jl:1-97)."""
 
     theta: Any
     fn: Callable = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
-    hessian: str = dataclasses.field(default="dense", metadata=dict(static=True))
+    hessian: Any = dataclasses.field(default="dense", metadata=dict(static=True))
 
     def log_density(self, x):
         return self.fn(x, **self.theta)
 
     def local_quadratic(self, x):
         g = jax.grad(self.log_density)(x)
-        if self.hessian == "diag":
+        if isinstance(self.hessian, SparsePattern):
+            from ..linear_maps import sparse_hessian_map
+
+            H = sparse_hessian_map(self.log_density, x, self.hessian)
+            Q = -H.symmetrize()
+        elif self.hessian == "diag":
             _, hvp = jax.jvp(jax.grad(self.log_density), (x,), (jnp.ones_like(x),))
             Q = SparseMatrix(-hvp, diag_pattern(self.n))
         else:

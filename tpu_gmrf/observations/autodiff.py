@@ -45,7 +45,7 @@ class AutoDiffLikelihood(ObservationLikelihood):
     theta: Any  # traced hyperparameters passed through to fn
     y: Any
     fn: Callable = dataclasses.field(metadata=dict(static=True))
-    hessian: str = dataclasses.field(default="dense", metadata=dict(static=True))
+    hessian: Any = dataclasses.field(default="dense", metadata=dict(static=True))
 
     conditionally_independent = False
 
@@ -70,6 +70,10 @@ class AutoDiffLikelihood(ObservationLikelihood):
         return hvp
 
     def loghessian(self, x) -> SparseMatrix:
+        if isinstance(self.hessian, SparsePattern):
+            from ..linear_maps import sparse_hessian_map
+
+            return sparse_hessian_map(self._ll, x, self.hessian).symmetrize()
         if self.hessian == "diag":
             return spdiag(self.loghessian_diag(x))
         H = jax.hessian(self._ll)(x)
@@ -78,12 +82,17 @@ class AutoDiffLikelihood(ObservationLikelihood):
 
 
 class AutoDiffObservationModel(ObservationModel):
-    """obs_model = AutoDiffObservationModel(fn, hessian='dense'|'diag');
+    """obs_model = AutoDiffObservationModel(fn, hessian=...) with hessian in
+    {'dense', 'diag'} or a symmetric `SparsePattern` (colored HVP extraction,
+    no n×n array — reference ext/GaussianMarkovRandomFieldsSparseADLikelihoods.jl);
     fn(x, y, **theta) -> scalar log-likelihood."""
 
-    def __init__(self, fn: Callable, hessian: str = "dense"):
-        if hessian not in ("dense", "diag"):
-            raise ValueError("hessian must be 'dense' or 'diag'")
+    def __init__(self, fn: Callable, hessian="dense"):
+        if not isinstance(hessian, SparsePattern) and hessian not in (
+            "dense",
+            "diag",
+        ):
+            raise ValueError("hessian must be 'dense', 'diag', or a SparsePattern")
         self.fn = fn
         self.hessian = hessian
 
@@ -94,11 +103,17 @@ class AutoDiffObservationModel(ObservationModel):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NLSQLikelihood(ObservationLikelihood):
-    """y ~ N(f(x), σ): Gauss-Newton curvature −JᵀWJ (PSD by construction)."""
+    """y ~ N(f(x), σ): Gauss-Newton curvature −JᵀWJ (PSD by construction).
+
+    With `jac_pattern` (an (m, n) SparsePattern of ∂f/∂x) the Jacobian is
+    extracted by colored jvps and the curvature assembled as a sparse
+    JᵀJ product — the reference's sparse-AD NLSQ path
+    (reference src/observation_models/nonlinear_least_squares.jl:16-316)."""
 
     y: Any
     sigma: Any
     f: Callable = dataclasses.field(metadata=dict(static=True))
+    jac_pattern: Any = dataclasses.field(default=None, metadata=dict(static=True))
 
     conditionally_independent = False
     hessian_kind = "sparse"
@@ -118,6 +133,12 @@ class NLSQLikelihood(ObservationLikelihood):
         return vjp(r / self.sigma**2)[0]
 
     def loghessian(self, x) -> SparseMatrix:
+        if self.jac_pattern is not None:
+            from ..linear_maps import sparse_jacobian_map
+            from ..sparse.matrix import sp_matmul
+
+            J = sparse_jacobian_map(self.f, x, self.jac_pattern)
+            return sp_matmul(J.T, J) * (-1.0 / self.sigma**2)
         J = jax.jacfwd(self.f)(x)  # (m, n)
         H = -(J.T @ J) / self.sigma**2
         n = x.shape[0]
@@ -125,15 +146,21 @@ class NLSQLikelihood(ObservationLikelihood):
 
 
 class NonlinearLeastSquaresModel(ObservationModel):
-    def __init__(self, f: Callable):
+    def __init__(self, f: Callable, jac_pattern: SparsePattern | None = None):
         self.f = f
+        self.jac_pattern = jac_pattern
 
     @property
     def hyperparameters(self):
         return ("sigma",)
 
     def __call__(self, y, sigma, **_) -> NLSQLikelihood:
-        return NLSQLikelihood(y=jnp.asarray(y), sigma=jnp.asarray(sigma), f=self.f)
+        return NLSQLikelihood(
+            y=jnp.asarray(y),
+            sigma=jnp.asarray(sigma),
+            f=self.f,
+            jac_pattern=self.jac_pattern,
+        )
 
 
 @jax.tree_util.register_dataclass
