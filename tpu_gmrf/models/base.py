@@ -50,7 +50,7 @@ class LatentModel:
         """Returns (A (m,n) ndarray, e (m,) ndarray) or None. θ-independent."""
         return None
 
-    def __call__(self, **theta):
+    def _materialize(self, **theta):
         Q = self.precision(**theta)
         mu = self.mean(**theta)
         base = GMRF.from_precision(mu, Q, self.solver)
@@ -59,6 +59,21 @@ class LatentModel:
             return base
         A, e = cons
         return ConstrainedGMRF.create(base, jnp.asarray(A), jnp.asarray(e))
+
+    def __call__(self, **theta):
+        # One jitted map θ ↦ GMRF per (instance, hyperparameter-name set):
+        # eagerly evaluating assembly + factorization op-by-op costs dozens of
+        # separate XLA compiles (~0.5 s each); a single traced program compiles
+        # once and is cached. Under an outer jit this inlines.
+        import jax
+
+        names = tuple(sorted(theta.keys()))
+        cache = self.__dict__.setdefault("_call_jit_cache", {})
+        fn = cache.get(names)
+        if fn is None:
+            fn = jax.jit(lambda th: self._materialize(**th))
+            cache[names] = fn
+        return fn({k: jnp.asarray(v) for k, v in theta.items()})
 
     def __repr__(self):
         hp = ", ".join(self.hyperparameters)

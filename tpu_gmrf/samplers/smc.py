@@ -49,9 +49,29 @@ def run_smc(
     step_size: float = 0.1,
     target_ess: float = 0.5,
     max_stages: int = 50,
+    mesh=None,
+    particle_axis: str | None = None,
 ) -> SMCResult:
-    """Temper from prior to posterior: π_λ ∝ exp(log_prior + λ·log_lik)."""
+    """Temper from prior to posterior: π_λ ∝ exp(log_prior + λ·log_lik).
+
+    With ``mesh``, particles are sharded over ``particle_axis`` (default: the
+    mesh's first axis name); the per-particle likelihood/move work runs SPMD
+    and the ESS/normalization/resampling reductions become XLA collectives
+    (`psum`/`all_gather`) over ICI — the gathered-weight systematic
+    resampling of SURVEY §5."""
     particles = jnp.atleast_2d(jnp.asarray(init_particles))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = particle_axis or mesh.axis_names[0]
+        if particles.shape[0] % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"num_particles {particles.shape[0]} not divisible by mesh axis "
+                f"'{axis}' ({mesh.shape[axis]})"
+            )
+        particles = jax.device_put(
+            particles, NamedSharding(mesh, PartitionSpec(axis, None))
+        )
     n, dim = particles.shape
     dtype = particles.dtype
 

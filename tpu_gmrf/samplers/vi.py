@@ -30,7 +30,13 @@ def run_advi(
     num_steps: int = 2000,
     num_elbo_samples: int = 8,
     learning_rate: float = 1e-2,
+    mesh=None,
+    sample_axis: str | None = None,
 ) -> ADVIResult:
+    """With ``mesh``, the multi-sample ELBO estimator is sharded over
+    ``sample_axis`` (default: the mesh's first axis): each device evaluates
+    its shard of the `num_elbo_samples` logdensity draws and the mean/grad
+    reductions become `psum` collectives."""
     init_position = jnp.asarray(init_position)
     dim = init_position.shape[0]
     params = {
@@ -40,8 +46,23 @@ def run_advi(
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = sample_axis or mesh.axis_names[0]
+        if num_elbo_samples % mesh.shape[axis] != 0:
+            raise ValueError(
+                f"num_elbo_samples {num_elbo_samples} not divisible by mesh "
+                f"axis '{axis}' ({mesh.shape[axis]})"
+            )
+        _eps_sharding = NamedSharding(mesh, PartitionSpec(axis, None))
+    else:
+        _eps_sharding = None
+
     def neg_elbo(params, key):
         eps = jax.random.normal(key, (num_elbo_samples, dim), init_position.dtype)
+        if _eps_sharding is not None:
+            eps = jax.lax.with_sharding_constraint(eps, _eps_sharding)
         z = params["mean"] + eps * jnp.exp(params["log_std"])
         lps = jax.vmap(logdensity_fn)(z)
         entropy = jnp.sum(params["log_std"]) + 0.5 * dim * (1.0 + jnp.log(2 * jnp.pi))
