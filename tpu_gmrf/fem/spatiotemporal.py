@@ -104,12 +104,75 @@ def spatial_to_spatiotemporal(A_spatial: SparseMatrix, t_idx: int, N_t: int) -> 
     return SparseMatrix(A_spatial.data[..., new_pat.sort_order], new_pat)
 
 
+def _decouple_rows_cols(A: SparseMatrix, mask: np.ndarray, diag_value) -> SparseMatrix:
+    """Zero every entry whose row or column is constrained; set constrained
+    diagonal entries to `diag_value` (Ferrite `apply!` / the symmetric half of
+    apply_soft_constraints!, reference fem_utils.jl:239-300)."""
+    rows, cols = A.pattern.rows, A.pattern.cols
+    keep = ~(mask[rows] | mask[cols])
+    data = jnp.where(jnp.asarray(keep), A.data, 0.0)
+    dpos = A.pattern.diag_positions[np.nonzero(mask)[0]]
+    data = data.at[dpos].set(diag_value)
+    return A.with_data(data)
+
+
+def _zero_rows(A: SparseMatrix, mask: np.ndarray, diag_value=1.0) -> SparseMatrix:
+    """Zero constrained *rows* only and set their diagonal to `diag_value` —
+    the soft-constraint transform of the propagation operator K=G
+    (reference fem_utils.jl:253-262: K[p_dof,:] .= 0; K[p_dof,p_dof] = 1)."""
+    keep = ~mask[A.pattern.rows]
+    data = jnp.where(jnp.asarray(keep), A.data, 0.0)
+    dpos = A.pattern.diag_positions[np.nonzero(mask)[0]]
+    data = data.at[dpos].set(diag_value)
+    return A.with_data(data)
+
+
+def _ssm_means(G_dt: SparseMatrix, M_diag, mu0, Nt: int, bnodes, bvals, dense_max: int):
+    """Per-step SSM means μᵢ = G⁻¹(M μᵢ₋₁) with Dirichlet rows forced to the
+    prescribed values (reference linear_ssm.jl:75-86). Constant blocks ⇒ one
+    factorization + a lax.scan. Dense LU for small Ns; Jacobi-preconditioned
+    GMRES matvec solves above `dense_max`."""
+    import jax
+    import jax.scipy.linalg as jsl
+
+    Ns = G_dt.shape[0]
+    mu0 = jnp.asarray(mu0)
+    has_b = bnodes is not None and len(bnodes) > 0
+
+    if Ns <= dense_max:
+        lu, piv = jsl.lu_factor(G_dt.todense())
+
+        def solve(rhs):
+            return jsl.lu_solve((lu, piv), rhs)
+
+    else:
+        diag = G_dt.diagonal()
+
+        def solve(rhs):
+            x, _ = jax.scipy.sparse.linalg.gmres(
+                G_dt.matvec, rhs, M=lambda v: v / diag, tol=1e-10, maxiter=400
+            )
+            return x
+
+    def step(mu, _):
+        rhs = M_diag * mu
+        if has_b:
+            rhs = rhs.at[jnp.asarray(bnodes)].set(jnp.asarray(bvals, rhs.dtype))
+        mu_next = solve(rhs)
+        return mu_next, mu_next
+
+    _, mus = jax.lax.scan(step, mu0, None, length=Nt - 1)
+    return jnp.concatenate([mu0[None], mus], axis=0).reshape(Ns * Nt)
+
+
 class AdvectionDiffusionSPDE:
     """Advection-diffusion SPDE over a constant spatial mesh.
 
     Static configuration: kappa, alpha (integer), H, gamma, c, tau are fixed
     at construction (matching the reference's struct fields); `discretize`
-    assembles the joint space-time GMRF for given time points.
+    assembles the joint space-time GMRF for given time points, propagating
+    per-step means μᵢ = G⁻¹(M μᵢ₋₁) and applying soft Dirichlet constraints
+    (reference ext/.../advection_diffusion.jl:104-204, linear_ssm.jl:63-116).
     """
 
     def __init__(
@@ -123,7 +186,11 @@ class AdvectionDiffusionSPDE:
         tau: float = 1.0,
         spatial_smoothness: int = 1,
         initial_smoothness: int = 2,
+        bc: str = "neumann",
+        constraint_noise: float = 1e-4,
     ):
+        if bc not in ("neumann", "dirichlet"):
+            raise ValueError("bc must be 'neumann' or 'dirichlet'")
         self.disc = disc
         self.kappa = float(kappa)
         self.alpha = int(alpha)
@@ -131,6 +198,8 @@ class AdvectionDiffusionSPDE:
         self.gamma = np.asarray(gamma, dtype=np.float64)
         self.c = float(c)
         self.tau = float(tau)
+        self.bc = bc
+        self.constraint_noise = float(constraint_noise)
         self.spatial_spde = MaternSPDE(disc, smoothness=spatial_smoothness, diffusion_factor=H)
         self.initial_spde = MaternSPDE(disc, smoothness=initial_smoothness, diffusion_factor=H)
 
@@ -138,6 +207,9 @@ class AdvectionDiffusionSPDE:
         self,
         ts,
         mean_offset: float = 0.0,
+        streamline_diffusion: bool = False,
+        h: float = 0.1,
+        boundary_values=0.0,
         solver: SolverSpec = SolverSpec(),
     ) -> SpatiotemporalGMRF:
         ts = np.asarray(ts, dtype=np.float64)
@@ -149,6 +221,18 @@ class AdvectionDiffusionSPDE:
         M = disc.mass_matrix(lumped=True)  # diagonal
         G = disc.stiffness_matrix(diffusion=self.H)
         B = disc.advection_matrix(self.gamma)
+        if float(np.linalg.norm(self.gamma)) == 0.0:
+            streamline_diffusion = False  # SD changes nothing for zero advection
+
+        bmask = np.zeros(Ns, dtype=bool)
+        bnodes = None
+        if self.bc == "dirichlet":
+            bnodes = disc.boundary_nodes()
+            bmask[bnodes] = True
+            # hard-apply to the assembled operators (reference apply!(M/G/B, 0, ch))
+            M = _decouple_rows_cols(M, bmask, 1.0)
+            G = _decouple_rows_cols(G, bmask, 0.0)
+            B = _decouple_rows_cols(B, bmask, 0.0)
 
         # K = (κ²M + G)^α
         Kbase = spdiag(self.kappa**2 * M.diagonal()) + G
@@ -156,6 +240,11 @@ class AdvectionDiffusionSPDE:
         for _ in range(self.alpha - 1):
             K = K @ Kbase
         propagation = K + B
+        if streamline_diffusion:
+            S = disc.streamline_diffusion_matrix(self.gamma, h=h)
+            if self.bc == "dirichlet":
+                S = _decouple_rows_cols(S, bmask, 0.0)
+            propagation = propagation + S
         G_dt = spdiag(M.diagonal()) + propagation * (dt / self.c)
 
         x0 = self.initial_spde.discretize(self.kappa, solver=SolverSpec(kind="dense"))
@@ -167,9 +256,16 @@ class AdvectionDiffusionSPDE:
         D = spdiag(Minv_diag)
         Sigma_inv = D @ Q_s @ D
 
+        if self.bc == "dirichlet":
+            # soft constraints: G rows→[0…1…0], Σ⁻¹ decoupled with noise⁻² diag
+            G_dt = _zero_rows(G_dt, bmask, 1.0)
+            Sigma_inv = _decouple_rows_cols(
+                Sigma_inv, bmask, self.constraint_noise ** (-2.0)
+            )
+
         GtS = G_dt.T @ Sigma_inv
         F_inv = GtS @ G_dt
-        AtFA = M_SinvM = (spdiag(M.diagonal()) @ Sigma_inv) @ spdiag(M.diagonal())
+        AtFA = (spdiag(M.diagonal()) @ Sigma_inv) @ spdiag(M.diagonal())
         F_inv_A = GtS @ spdiag(M.diagonal())
 
         mid = F_inv + AtFA
@@ -177,7 +273,22 @@ class AdvectionDiffusionSPDE:
         off_blocks = [F_inv_A * -1.0] * (Nt - 1)
         Q_joint = sp_block_tridiag(diag_blocks, off_blocks).symmetrize()
 
-        mean = jnp.full((Ns * Nt,), float(mean_offset))
+        # per-step means μᵢ = G⁻¹(M μᵢ₋₁), μ₀ = mean(x₀) (zero here); only the
+        # Dirichlet inhomogeneity can make them nonzero, so skip the scan
+        # entirely in the common homogeneous case.
+        bvals = np.broadcast_to(
+            np.asarray(boundary_values, dtype=np.float64).ravel(),
+            (len(bnodes),) if bnodes is not None else (0,),
+        )
+        mu0_nonzero = bool(np.any(np.asarray(x0.mean) != 0.0))
+        if mu0_nonzero or (bnodes is not None and np.any(bvals != 0.0)):
+            from ..solvers.base import DENSE_AUTO_MAX
+
+            mean = _ssm_means(
+                G_dt, M.diagonal(), x0.mean, Nt, bnodes, bvals, DENSE_AUTO_MAX
+            ) + float(mean_offset)
+        else:
+            mean = jnp.full((Ns * Nt,), float(mean_offset))
         joint = GMRF.from_precision(mean, Q_joint, solver)
         return SpatiotemporalGMRF(joint, Nt, disc, ts=ts)
 
