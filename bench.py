@@ -1,25 +1,43 @@
 """Benchmarks for the three headline workloads (BASELINE.md):
 
 1. Supernodal sparse Cholesky factorize + selected inversion throughput on a
-   ~10k-node 2D Matérn precision (the CHOLMOD-role core,
+   ~16k-node 2D Matérn precision (the CHOLMOD-role core,
    reference src/workspace/backend.jl:24-182).
 2. End-to-end NUTS posterior samples/sec on a *spatial* Poisson model whose
    Laplace marginals run through the supernodal backend.
 3. The flagship n=500 Poisson/AR1 NUTS workload (reference
    benchmarks/benchmarks.jl:69-76) — 256 vmapped chains per chip.
 
-Prints one JSON line PER metric; the flagship metric is printed LAST so a
-single-line parser records it. `vs_baseline` for the flagship is measured
-against the round-1 number (223.134 samples/s); new metrics use 1.0 (the
-reference publishes no absolute numbers, BASELINE.md).
+Robustness: every metric runs in its OWN subprocess under a wall-clock
+timeout, so a compile blowup or device fault in one workload cannot take
+down the others (round-2 failure mode: one TPU device error killed the whole
+bench). The flagship runs FIRST (the most important number lands even if the
+budget runs out) but its JSON line is printed LAST so a single-line parser
+records it. `vs_baseline` for the flagship is measured against the round-1
+number (223.134 samples/s); other metrics use 1.0 (the reference publishes
+no absolute numbers, BASELINE.md).
+
+Eager-execution hygiene: on the axon TPU backend every un-jitted op is a
+tunnel round trip, so workloads must build precisions via `model.precision`
+(host + cheap ops) and keep factorizations inside jit — `model(...)`
+factorizes eagerly and takes minutes off-jit.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 R1_FLAGSHIP = 223.134  # BENCH_r01.json
+
+# (name, subprocess timeout seconds)
+METRICS = [
+    ("flagship_ar1", 900),
+    ("supernodal_factorize_selinv", 540),
+    ("spatial_poisson_nuts", 540),
+]
 
 
 def _emit(metric, value, unit, vs_baseline=1.0):
@@ -37,12 +55,13 @@ def _emit(metric, value, unit, vs_baseline=1.0):
 
 
 def bench_supernodal_factorize_selinv():
-    """Factorize + selected-inverse diagonal of a ~10k-node 2D Matérn(α=2)
+    """Factorize + selected-inverse diagonal of a ~16k-node 2D Matérn(α=2)
     precision. GFLOP/s uses the symbolic multiply-add count (Σ colcount² for
     the factorization; selected inversion does the same traversal again), so
     value = 2 · 2 · Σcc² / wall — a conservative, pattern-derived count."""
+    import dataclasses
+
     import jax
-    import jax.numpy as jnp
 
     from tpu_gmrf import MaternModel
     from tpu_gmrf.solvers.base import SolverSpec
@@ -54,34 +73,26 @@ def bench_supernodal_factorize_selinv():
     gx, gy = np.meshgrid(np.linspace(0, 1, 100), np.linspace(0, 1, 100))
     pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
     model = MaternModel(pts, smoothness=1, solver=SolverSpec(kind="supernodal"))
-    prior = model(tau=1.0, range=0.25)
-    Q = prior.Q
+    Q = model.precision(tau=1.0, range=0.25)  # no eager factorization
     summ = supernodal_symbolic_summary(Q.pattern)["flops"]
     n = Q.shape[0]
 
     @jax.jit
     def work(data):
-        import dataclasses
-
-        Q2 = dataclasses.replace(Q, data=data)
-        f = supernodal_factorize(Q2)
+        f = supernodal_factorize(dataclasses.replace(Q, data=data))
         return f.logdet(), f.selinv_diag()
 
     ld, d = work(Q.data)
     jax.block_until_ready(d)
-    reps = 5
+    assert np.isfinite(float(ld)), f"non-finite logdet {float(ld)}"
+    reps = 3
     t0 = time.time()
     for i in range(reps):
         ld, d = work(Q.data * (1.0 + 1e-6 * i))
         jax.block_until_ready(d)
     dt = (time.time() - t0) / reps
     gflops = 4.0 * summ / dt / 1e9
-    _emit(
-        f"supernodal_factorize_selinv_gflops_n{n}_matern2d",
-        gflops,
-        "GFLOP/s",
-    )
-    return dt
+    _emit(f"supernodal_factorize_selinv_gflops_n{n}_matern2d", gflops, "GFLOP/s")
 
 
 def bench_spatial_poisson_nuts():
@@ -105,7 +116,7 @@ def bench_spatial_poisson_nuts():
     gx, gy = np.meshgrid(np.linspace(0, 1, 20), np.linspace(0, 1, 20))
     pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
     model = MaternModel(pts, smoothness=1, solver=SolverSpec(kind="supernodal"))
-    n = model(tau=1.0, range=0.4).n
+    n = model.n
     truth = np.sin(3.0 * gx.ravel()) * np.cos(2.0 * gy.ravel())
     field = np.zeros(n, np.float32)
     field[: truth.shape[0]] = truth
@@ -199,13 +210,37 @@ def bench_flagship_ar1():
 
 
 def main():
-    for fn in (bench_supernodal_factorize_selinv, bench_spatial_poisson_nuts):
+    lines = {}
+    for name, tmo in METRICS:
         try:
-            fn()
-        except Exception as e:  # a failed secondary metric must not kill the run
-            print(f"# bench {fn.__name__} failed: {type(e).__name__}: {e}", flush=True)
-    bench_flagship_ar1()
+            out = subprocess.run(
+                [sys.executable, __file__, "--metric", name],
+                capture_output=True,
+                text=True,
+                timeout=tmo,
+            )
+            got = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not got:
+                tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
+                print(f"# bench {name} failed (rc={out.returncode}): {' | '.join(tail)}", flush=True)
+            lines[name] = got
+        except subprocess.TimeoutExpired:
+            print(f"# bench {name} timed out after {tmo}s", flush=True)
+            lines[name] = []
+    # secondary metrics first, flagship line last (single-line parsers)
+    for name, _ in METRICS[1:]:
+        for l in lines.get(name, []):
+            print(l, flush=True)
+    for l in lines.get("flagship_ar1", []):
+        print(l, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--metric":
+        {
+            "flagship_ar1": bench_flagship_ar1,
+            "supernodal_factorize_selinv": bench_supernodal_factorize_selinv,
+            "spatial_poisson_nuts": bench_spatial_poisson_nuts,
+        }[sys.argv[2]]()
+    else:
+        main()

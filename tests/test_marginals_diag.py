@@ -149,3 +149,37 @@ def test_cg_temporal_gs_preconditioner():
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-5, atol=1e-8)
     _, it_plain, _ = cg_solve(Q.matvec, b, tol=1e-10, max_iter=4000)
     assert int(it_pre) < int(it_plain)
+
+
+def test_lt_marginals_selinv_path_supernodal(monkeypatch):
+    """The SparseMatrix-A variance path must go through ONE factor.selinv
+    pass (reference selinv_extract_at, src/workspace/backend.jl:112-177) —
+    the identity-column fallback is forbidden here — and match dense."""
+    import tpu_gmrf.inference.marginals as marg
+    from tpu_gmrf import MaternModel, linear_condition
+    from tpu_gmrf.solvers import SolverSpec
+
+    rng = np.random.default_rng(3)
+    gx, gy = np.meshgrid(np.linspace(0, 1, 18), np.linspace(0, 1, 18))
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    model = MaternModel(pts, smoothness=1, solver=SolverSpec(kind="supernodal"))
+    prior = model(tau=1.0, range=0.4)
+    obs_pts = rng.uniform(0.05, 0.95, size=(40, 2))
+    A = model.evaluation_matrix(obs_pts)
+    y = rng.normal(size=40)
+    post = linear_condition(prior, jnp.asarray(y), Q_eps=4.0, A=A)
+
+    def boom(*a, **k):
+        raise AssertionError("fell back to identity-column solves")
+
+    monkeypatch.setattr(marg, "_inverse_entries", boom)
+    from tpu_gmrf.observations import LinearlyTransformedObservationModel
+
+    lt = LinearlyTransformedObservationModel(ExponentialFamily("normal"), A)
+    lik = lt(jnp.asarray(y), sigma=0.5)
+    mu, v, _ = linear_predictor_marginals(post, lik)
+    # dense oracle
+    Sig = np.linalg.inv(np.asarray(post.Q.todense()))
+    Ad = np.asarray(A.todense())
+    np.testing.assert_allclose(np.asarray(v), np.diag(Ad @ Sig @ Ad.T), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(mu), Ad @ np.asarray(post.mean), rtol=1e-6, atol=1e-10)

@@ -23,35 +23,62 @@ from ..sparse.matrix import SparseMatrix
 __all__ = ["linear_predictor_marginals", "waic", "conditional_predictive_ordinates"]
 
 
+_PAIR_PLAN_CACHE: dict = {}
+
+
+def _pair_plan(pat):
+    """Vectorized host plan for the per-row quadratic form
+    v_p = Σ_{j,k∈row p} A_pj Σ_jk A_pk: for every row of A, all (j,k)
+    column pairs, as flat arrays (row_of_pair, va, vb, jj, kk) plus a
+    deduplicated Σ-entry pattern and the inverse map onto it. Cached per
+    pattern (reference src/workspace/backend.jl:112-177 `selinv_extract_at`
+    plays the same role)."""
+    import numpy as np
+
+    from ..sparse.pattern import SparsePattern
+
+    plan = _PAIR_PLAN_CACHE.get(pat)
+    if plan is not None:
+        return plan
+    indptr, cols = pat.indptr, pat.cols
+    m, n = pat.shape
+    c = np.diff(indptr).astype(np.int64)
+    P = c * c
+    total = int(P.sum())
+    row_of_pair = np.repeat(np.arange(m, dtype=np.int64), P)
+    start = np.repeat(np.cumsum(P) - P, P)
+    t = np.arange(total, dtype=np.int64) - start
+    cw = np.maximum(np.repeat(c, P), 1)
+    base = np.repeat(indptr[:-1].astype(np.int64), P)
+    va = base + t // cw
+    vb = base + t % cw
+    jj = cols[va].astype(np.int64)
+    kk = cols[vb].astype(np.int64)
+    key = jj * n + kk
+    uniq, inv = np.unique(key, return_inverse=True)
+    sig_pat = SparsePattern(uniq // n, uniq % n, (n, n))
+    plan = (row_of_pair, va, vb, jj, kk, sig_pat, inv)
+    _PAIR_PLAN_CACHE[pat] = plan
+    return plan
+
+
 def _row_diag_ASigmaAt(A, ga):
     """diag(A Σ Aᵀ) via the posterior's inverse restricted to the needed
-    entries. For SparseMatrix A uses selinv on the AᵀA pattern (reference
-    `selinv_extract_at`); dense A falls back to full rows."""
+    entries. For SparseMatrix A the Σ entries come from ONE selected-inverse
+    pass over the deduplicated (j,k) pattern (reference `selinv_extract_at`,
+    src/workspace/backend.jl:112-177); pairs outside the factor's fill
+    envelope fall back to identity-column solves. Dense A uses full rows."""
     base = ga.base if isinstance(ga, ConstrainedGMRF) else ga
     if isinstance(A, SparseMatrix):
-        # per-row quadratic form: v_p = Σ_{j,k∈row p} A_pj Σ_jk A_pk
-        from ..sparse.pattern import spgemm_pattern
-
-        # Build the (j, k) pair plan for each row of A once (host).
-        pat = A.pattern
-        import numpy as np
-
-        rows_out, jj, kk, va_idx, vb_idx = [], [], [], [], []
-        indptr = pat.indptr
-        for p in range(pat.shape[0]):
-            s, e = int(indptr[p]), int(indptr[p + 1])
-            for a in range(s, e):
-                for b in range(s, e):
-                    rows_out.append(p)
-                    jj.append(int(pat.cols[a]))
-                    kk.append(int(pat.cols[b]))
-                    va_idx.append(a)
-                    vb_idx.append(b)
-        jj = np.asarray(jj)
-        kk = np.asarray(kk)
-        Sig_entries = _inverse_entries(base, jj, kk)
-        prod = A.data[np.asarray(va_idx)] * A.data[np.asarray(vb_idx)] * Sig_entries
-        v = jax.ops.segment_sum(prod, jnp.asarray(np.asarray(rows_out)), num_segments=pat.shape[0])
+        row_of_pair, va, vb, jj, kk, sig_pat, inv = _pair_plan(A.pattern)
+        try:
+            Sig_uniq = base.factor.selinv(sig_pat).data
+        except (ValueError, NotImplementedError):
+            Sig_uniq = _inverse_entries(base, sig_pat.rows, sig_pat.cols)
+        prod = A.data[va] * A.data[vb] * Sig_uniq[jnp.asarray(inv)]
+        v = jax.ops.segment_sum(
+            prod, jnp.asarray(row_of_pair), num_segments=A.pattern.shape[0]
+        )
     else:
         Sig_rows = base.factor.solve(A.T)  # (n, m) = Σ Aᵀ
         v = jnp.sum(A * Sig_rows.T, axis=1)
@@ -64,10 +91,11 @@ def _row_diag_ASigmaAt(A, ga):
 
 
 def _inverse_entries(base, jj, kk):
-    """Σ entries at arbitrary (j, k) positions — exact via factor."""
+    """Σ entries at arbitrary (j, k) positions — exact identity-column
+    solves; the fallback when (j, k) lies outside the factor's envelope."""
     import numpy as np
 
-    uniq_cols = np.unique(kk)
+    uniq_cols = np.unique(np.asarray(kk))
     n = base.n
     eye_cols = jnp.zeros((n, len(uniq_cols))).at[jnp.asarray(uniq_cols), jnp.arange(len(uniq_cols))].set(1.0)
     Sig_cols = base.factor.solve(eye_cols.astype(base.dtype))  # (n, u)

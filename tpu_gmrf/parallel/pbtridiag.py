@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from ..solvers.base import mxu_f32
 
 __all__ = [
     "pbtridiag_solve",
@@ -48,6 +49,7 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+@mxu_f32
 def _bt_chol(Dg, E):
     """Block Cholesky of a block-tridiag SPD matrix.
 
@@ -70,6 +72,7 @@ def _bt_chol(Dg, E):
     return Lk, Mk[:-1]
 
 
+@mxu_f32
 def _bt_solve_factored(Lk, Mk, B):
     """Solve A x = B given the block factorization; B: (m, ns, k)."""
     ns = Lk.shape[1]
@@ -142,6 +145,7 @@ def _reduced_solve(alpha, beta, gamma, r):
 # ---------------------------------------------------------------------------
 
 
+@mxu_f32
 def _shard_kernel(diag, sub, b, ax):
     """Per-device: diag (T, ns, ns), sub (T, ns, ns), b (T, ns).
 

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..sparse.matrix import SparseMatrix
 from ..sparse.pattern import SparsePattern
+from .base import mxu_f32
 
 __all__ = ["BandedFactor", "banded_factorize", "banded_plan"]
 
@@ -130,6 +131,7 @@ class BandedFactor:
         plan = self.plan
         return x[jnp.asarray(plan["inv_perm"])]
 
+    @mxu_f32
     def forward_solve_blocks(self, bb):
         """L y = b over blocks; bb: (K, s, ...)."""
         Lk, Mk = self.Lk, self.Mk
@@ -146,6 +148,7 @@ class BandedFactor:
         _, ys = jax.lax.scan(step, y0, (Lk, Mk_pad, bb))
         return ys
 
+    @mxu_f32
     def backward_solve_blocks(self, zb):
         """Lᵀ x = z over blocks (reverse scan)."""
         Lk, Mk = self.Lk, self.Mk
@@ -192,6 +195,7 @@ class BandedFactor:
         diag = jnp.diagonal(self.Lk, axis1=-2, axis2=-1)
         return 2.0 * jnp.sum(jnp.log(diag))
 
+    @mxu_f32
     def _sigma_blocks(self):
         """Block Takahashi: returns (Σ_diag (K, s, s), Σ_sub (K-1, s, s))."""
         Lk, Mk = self.Lk, self.Mk
@@ -254,6 +258,7 @@ class BandedFactor:
         z = self.selinv(other.pattern)
         return jnp.sum(z.data * other.data, axis=-1)
 
+    @mxu_f32
     def sqrt_matvec(self, z):
         """L z in the permuted block basis, mapped back."""
         zb = self._to_blocks(z)
@@ -265,6 +270,7 @@ class BandedFactor:
         return self._from_blocks(lower + shifted, z.ndim)
 
 
+@mxu_f32
 def banded_factorize(Q: SparseMatrix, block: int | None = None) -> BandedFactor:
     # average with the transpose so gradient sensitivity splits evenly over
     # both stored triangle entries (only the lower triangle is read)

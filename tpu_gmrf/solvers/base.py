@@ -26,7 +26,27 @@ import numpy as np
 
 from ..sparse.matrix import SparseMatrix
 
-__all__ = ["SolverSpec", "factorize", "CGFactor", "DENSE_AUTO_MAX"]
+__all__ = ["SolverSpec", "factorize", "CGFactor", "DENSE_AUTO_MAX", "mxu_f32"]
+
+
+def mxu_f32(fn):
+    """Trace `fn` under `jax.default_matmul_precision('highest')`.
+
+    TPU dot/einsum default to bf16 MXU passes (~8 mantissa bits); Cholesky
+    Schur updates and triangular solves on the ill-conditioned precisions
+    this library factorizes need full f32 accumulation or they go NaN.
+    Applied to every factorization-backend numeric method; XLA still fuses
+    and the MXU runs the 3/6-pass f32 algorithm at a modest slowdown."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        import jax
+
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 # Above this dimension "auto" stops materializing dense factors.
 DENSE_AUTO_MAX = 4096

@@ -27,6 +27,7 @@ import jax.scipy.linalg as jsl
 
 from ..sparse.matrix import SparseMatrix
 from ..sparse.pattern import SparsePattern
+from .base import mxu_f32
 
 __all__ = ["DenseFactor", "dense_factorize"]
 
@@ -70,6 +71,7 @@ class DenseFactor:
             jnp.log(jnp.diagonal(self.L, axis1=-2, axis2=-1)), axis=-1
         ) - 2.0 * jnp.sum(jnp.log(self.s), axis=-1)
 
+    @mxu_f32
     def _inv(self) -> jnp.ndarray:
         Linv = jsl.solve_triangular(
             self.L, jnp.eye(self.n, dtype=self.L.dtype), lower=True
@@ -77,6 +79,7 @@ class DenseFactor:
         Zp = Linv.T @ Linv
         return self.s[:, None] * Zp * self.s[None, :]
 
+    @mxu_f32
     def selinv_diag(self) -> jnp.ndarray:
         Linv = jsl.solve_triangular(
             self.L, jnp.eye(self.n, dtype=self.L.dtype), lower=True
@@ -95,6 +98,7 @@ class DenseFactor:
         return jnp.sum(Z[other.pattern.rows, other.pattern.cols] * other.data, axis=-1)
 
 
+@mxu_f32
 def dense_factorize(Q: SparseMatrix | jnp.ndarray) -> DenseFactor:
     A = Q.todense() if isinstance(Q, SparseMatrix) else Q
     d = jnp.diagonal(A, axis1=-2, axis2=-1)

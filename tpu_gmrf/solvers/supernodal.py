@@ -25,7 +25,11 @@ for XLA rather than translated:
   exists in L's pattern).
 
 f32 robustness: Jacobi equilibration Q' = S·Q·S exactly as the dense
-backend; logdet/solves/selinv are corrected analytically.
+backend; logdet/solves/selinv are corrected analytically. On TPU every
+matmul in the factorization/solve/Takahashi schedule runs at
+`default_matmul_precision("highest")` — the MXU's default bf16 passes lose
+~16 mantissa bits, which breaks Cholesky on the ill-conditioned Matérn
+precisions this backend exists for (observed: NaN logdet at n≈16k, α=2).
 """
 
 from __future__ import annotations
@@ -40,6 +44,7 @@ import numpy as np
 
 from ..sparse.matrix import SparseMatrix
 from ..sparse.pattern import SparsePattern
+from .base import mxu_f32
 
 __all__ = ["SupernodalFactor", "supernodal_factorize", "supernodal_plan"]
 
@@ -452,6 +457,7 @@ class SupernodalFactor:
     # -- factorization ------------------------------------------------------
 
     @staticmethod
+    @mxu_f32
     def _factorize(Q: SparseMatrix, meta) -> "SupernodalFactor":
         plan = _PLAN_CACHE[meta]
         # Symmetrize (average both stored triangles) so ∂/∂data matches the
@@ -500,6 +506,7 @@ class SupernodalFactor:
 
     # -- solves -------------------------------------------------------------
 
+    @mxu_f32
     def _forward(self, xp):
         """L y = b over the level schedule (ascending)."""
         plan = self.plan
@@ -515,6 +522,7 @@ class SupernodalFactor:
                 xp = xp.at[plan["n"]].set(0.0)
         return xp
 
+    @mxu_f32
     def _backward(self, xp):
         """Lᵀ x = z over the level schedule (descending)."""
         plan = self.plan
@@ -557,6 +565,7 @@ class SupernodalFactor:
         xp = self._backward(zp)
         return self._unperm_vec(xp)
 
+    @mxu_f32
     def sqrt_matvec(self, z: jnp.ndarray) -> jnp.ndarray:
         """(S⁻¹L) z — maps N(0, I) to N(0, Q)."""
         plan = self.plan
@@ -586,6 +595,7 @@ class SupernodalFactor:
         diag = self.vals[jnp.asarray(plan["diag_pos"])]
         return 2.0 * jnp.sum(jnp.log(diag)) - 2.0 * jnp.sum(jnp.log(self.s))
 
+    @mxu_f32
     def _sigma_vals(self) -> jnp.ndarray:
         """Takahashi recursion: Σ entries on L's pattern (scaled basis)."""
         plan = self.plan
