@@ -126,3 +126,79 @@ def test_structured_observation_model(rng):
     prior = AR1Model(n)(tau=1.0, rho=0.5)
     post = gaussian_approximation(prior, lik)
     assert np.all(np.isfinite(np.asarray(post.mean)))
+
+
+def test_manifold_matern_on_sphere():
+    """Matérn SPDE on an embedded sphere mesh: evaluation via closest-point
+    projection (reference modelling_on_manifolds.jl + fem_discretization.jl
+    embedded-surface paths), intrinsic dimension 2 in the ν conversion."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_gmrf.fem import FEMDiscretization, MaternSPDE, icosphere
+    from tpu_gmrf import linear_condition
+    from tpu_gmrf.solvers import SolverSpec
+
+    mesh = icosphere(2)  # 162 vertices
+    d = FEMDiscretization(mesh)
+    assert d.intrinsic_dim == 2 and mesh.embedding_dim == 3
+    spde = MaternSPDE(d, smoothness=1)
+    prior = spde.discretize(kappa=3.0, solver=SolverSpec(kind="dense"))
+    # variance normalization should hold approximately on the closed surface
+    v = np.asarray(prior.var())
+    assert 0.3 < np.median(v) < 3.0
+    # condition on observations at off-vertex points via closest-point eval
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(20, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    A = d.evaluation_matrix(pts)
+    Ad = np.asarray(A.todense())
+    np.testing.assert_allclose(Ad.sum(axis=1), 1.0, atol=1e-9)
+    assert ((Ad >= -1e-12).all()) and (Ad.max() <= 1.0 + 1e-12)
+    y = np.sin(2.0 * pts[:, 2])
+    post = linear_condition(prior, jnp.asarray(y), Q_eps=100.0, A=A)
+    resid = Ad @ np.asarray(post.mean) - y
+    assert np.abs(resid).max() < 0.25
+    # posterior variance shrinks at observed locations
+    vpost = np.asarray(post.var())
+    assert np.median(vpost) < np.median(v)
+
+
+def test_second_derivative_matrix_quadratic():
+    """Recovered-gradient second derivative: exact-ish for u = x² away from
+    the boundary (reference fem_derivatives.jl:212-253 role)."""
+    from tpu_gmrf.fem import FEMDiscretization, interval_mesh
+
+    n = 41
+    d = FEMDiscretization(interval_mesh(0.0, 1.0, n))
+    u = d.mesh.nodes**2
+    pts = np.linspace(0.2, 0.8, 7)
+    D2 = d.second_derivative_matrix(pts, dims=(0, 0))
+    vals = np.asarray(D2.todense()) @ u
+    np.testing.assert_allclose(vals, 2.0, rtol=0.05)
+    # 2D: u = x·y, mixed derivative ≈ 1 in the interior
+    gx, gy = np.meshgrid(np.linspace(0, 1, 15), np.linspace(0, 1, 15))
+    pts2 = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    from tpu_gmrf.fem import generate_mesh
+
+    d2 = FEMDiscretization(generate_mesh(pts2))
+    u2 = d2.mesh.vertices[:, 0] * d2.mesh.vertices[:, 1]
+    q = np.array([[0.4, 0.5], [0.55, 0.45], [0.5, 0.6]])
+    Dxy = d2.second_derivative_matrix(q, dims=(0, 1))
+    vals2 = np.asarray(Dxy.todense()) @ u2
+    np.testing.assert_allclose(vals2, 1.0, atol=0.35)
+
+
+def test_point_second_derivative_obs_model():
+    from tpu_gmrf import ExponentialFamily
+    from tpu_gmrf.fem import (
+        FEMDiscretization,
+        PointSecondDerivativeObsModel,
+        interval_mesh,
+    )
+
+    d = FEMDiscretization(interval_mesh(0.0, 1.0, 21))
+    pts = np.array([0.3, 0.6])
+    m = PointSecondDerivativeObsModel(d, pts, ExponentialFamily("normal"))
+    lik = m(jnp.asarray([2.0, 2.0]), sigma=0.1)
+    u = jnp.asarray(d.mesh.nodes**2)
+    assert np.isfinite(float(lik.loglik(u)))

@@ -183,3 +183,39 @@ def test_lt_marginals_selinv_path_supernodal(monkeypatch):
     Ad = np.asarray(A.todense())
     np.testing.assert_allclose(np.asarray(v), np.diag(Ad @ Sig @ Ad.T), rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(np.asarray(mu), Ad @ np.asarray(post.mean), rtol=1e-6, atol=1e-10)
+
+
+def test_block_rbmc_var_converges():
+    """BlockRBMC (reference src/solvers/rbmc.jl:109-160): with enough samples
+    the block estimator matches exact variances, and it beats plain RBMC at
+    equal sample count on a correlated field."""
+    from tpu_gmrf import AR1Model
+    from tpu_gmrf.solvers.rbmc import block_rbmc_var, rbmc_var
+
+    model = AR1Model(120)
+    g = model(tau=1.0, rho=0.9)
+    exact = np.asarray(g.var())
+    key = jax.random.PRNGKey(0)
+    est_b = np.asarray(block_rbmc_var(g, key, n_samples=400, enclosure_size=2))
+    est_p = np.asarray(rbmc_var(g, key, n_samples=400))
+    err_b = np.abs(est_b - exact).max() / exact.max()
+    err_p = np.abs(est_p - exact).max() / exact.max()
+    assert err_b < 0.15, err_b
+    assert err_b < err_p, (err_b, err_p)
+
+
+def test_full_cholesky_preconditioner_one_step():
+    """P = Q ⇒ CG converges in one iteration (reference
+    src/preconditioners/full_cholesky.jl:15-35)."""
+    from tpu_gmrf import from_scipy
+    from tpu_gmrf.solvers.cg import cg_solve, full_cholesky_preconditioner
+
+    rng = np.random.default_rng(1)
+    Q = from_scipy(random_sparse_spd(rng, 80))
+    b = jnp.asarray(rng.normal(size=80))
+    M = full_cholesky_preconditioner(Q)
+    x, iters, res = cg_solve(Q.matvec, b, preconditioner=M, tol=1e-10)
+    assert int(iters) <= 2
+    np.testing.assert_allclose(
+        np.asarray(Q.matvec(x)), np.asarray(b), rtol=1e-7, atol=1e-8
+    )

@@ -4,11 +4,16 @@ from .mesh import (
     generate_mesh,
     create_inflated_rectangle,
     interval_mesh,
+    icosphere,
 )
 from .discretization import FEMDiscretization, assemble_coo
 from .spde import MaternSPDE, MaternModel, range_to_kappa, smoothness_to_nu
 from .barrier import BarrierModel
-from .obs_models import PointDerivativeObsModel, PointEvaluationObsModel
+from .obs_models import (
+    PointDerivativeObsModel,
+    PointEvaluationObsModel,
+    PointSecondDerivativeObsModel,
+)
 from .spatiotemporal import (
     SpatiotemporalGMRF,
     AdvectionDiffusionSPDE,
@@ -24,7 +29,11 @@ __all__ = [
     "generate_mesh",
     "create_inflated_rectangle",
     "interval_mesh",
+    "icosphere",
     "FEMDiscretization",
+    "PointEvaluationObsModel",
+    "PointDerivativeObsModel",
+    "PointSecondDerivativeObsModel",
     "assemble_coo",
     "MaternSPDE",
     "MaternModel",

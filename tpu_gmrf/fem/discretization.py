@@ -38,6 +38,60 @@ def assemble_coo(rows, cols, vals, shape) -> SparseMatrix:
     return SparseMatrix(jnp.asarray(acc), pat)
 
 
+def _closest_point_bary(pts: np.ndarray, coords: np.ndarray):
+    """Closest point on a triangulated surface: for each 3D point, the
+    containing/closest element and its barycentric weights (Ericson's
+    region-classification algorithm, vectorized points × triangles on host).
+    Reference behavior: closest-point projection in
+    ext/GaussianMarkovRandomFieldsFEM/fem_discretization.jl:27-396."""
+    a = coords[None, :, 0]  # (1, t, 3)
+    ab = coords[None, :, 1] - a
+    ac = coords[None, :, 2] - a
+    p = pts[:, None, :]  # (m, 1, 3)
+    ap = p - a
+    d1 = (ab * ap).sum(-1)
+    d2 = (ac * ap).sum(-1)
+    bp = p - coords[None, :, 1]
+    d3 = (ab * bp).sum(-1)
+    d4 = (ac * bp).sum(-1)
+    cp = p - coords[None, :, 2]
+    d5 = (ab * cp).sum(-1)
+    d6 = (ac * cp).sum(-1)
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v_edge_ab = d1 / (d1 - d3)
+        w_edge_ac = d2 / (d2 - d6)
+        w_edge_bc = (d4 - d3) / ((d4 - d3) + (d5 - d6))
+        denom = 1.0 / np.where(va + vb + vc != 0, va + vb + vc, 1.0)
+    v_in = vb * denom
+    w_in = vc * denom
+    zeros = np.zeros_like(d1)
+    # region conditions, in Ericson's priority order
+    conds = [
+        (d1 <= 0) & (d2 <= 0),                       # vertex a
+        (d3 >= 0) & (d4 <= d3),                      # vertex b
+        (d6 >= 0) & (d5 <= d6),                      # vertex c
+        (vc <= 0) & (d1 >= 0) & (d3 <= 0),           # edge ab
+        (vb <= 0) & (d2 >= 0) & (d6 <= 0),           # edge ac
+        (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0), # edge bc
+    ]
+    vv = [zeros, np.ones_like(d1), zeros, v_edge_ab, zeros, 1.0 - w_edge_bc]
+    ww = [zeros, zeros, np.ones_like(d1), zeros, w_edge_ac, w_edge_bc]
+    v = np.select(conds, vv, default=v_in)
+    w = np.select(conds, ww, default=w_in)
+    v = np.clip(np.nan_to_num(v), 0.0, 1.0)
+    w = np.clip(np.nan_to_num(w), 0.0, 1.0)
+    closest = a + v[..., None] * ab + w[..., None] * ac  # (m, t, 3)
+    diff = pts[:, None, :] - closest
+    dist2 = (diff * diff).sum(-1)
+    el = np.argmin(dist2, axis=1)
+    ar = np.arange(len(pts))
+    bar = np.stack([1.0 - v[ar, el] - w[ar, el], v[ar, el], w[ar, el]], axis=1)
+    return el, bar
+
+
 class FEMDiscretization:
     """P1 Lagrange discretization on a TriangleMesh or IntervalMesh."""
 
@@ -259,7 +313,15 @@ class FEMDiscretization:
                 cols_out += list(tris[el])
                 vals_out += list(b)
             return assemble_coo(rows_out, cols_out, vals_out, (len(pts), n))
-        raise NotImplementedError("evaluation on embedded surface meshes lands later")
+        # embedded surface: closest-point projection onto the triangulated
+        # manifold (reference ext/.../fem_discretization.jl:27-396)
+        el, bar = _closest_point_bary(pts, coords)
+        tris = self.mesh.triangles
+        m = len(pts)
+        rows = np.repeat(np.arange(m), 3)
+        cols = tris[el].ravel()
+        vals = bar.ravel()
+        return assemble_coo(rows, cols, vals, (m, n))
 
     def boundary_nodes(self) -> np.ndarray:
         """Indices of boundary vertices (edges on exactly one triangle; the
@@ -307,6 +369,30 @@ class FEMDiscretization:
             cols_out += list(tris[el])
             vals_out += list(self.grads[el, :, dim])
         return assemble_coo(rows_out, cols_out, vals_out, (len(pts), n))
+
+    def second_derivative_matrix(self, points, dims=(0, 0)) -> SparseMatrix:
+        """Row p = ∂²φ/∂x_{d2}∂x_{d1} at points[p] via nodal gradient
+        recovery: P1 in-element Hessians vanish, so ∂u/∂x_{d1} is first
+        L2-projected onto the nodal basis (lumped mass: g = M_l⁻¹ B_{d1} u
+        with B_{d1,ij} = ∫ φᵢ ∂φⱼ/∂x_{d1}), then differentiated pointwise.
+        The reference computes exact in-element Hessians for higher-order
+        interpolations (ext/.../fem_derivatives.jl:212-253); recovery is the
+        P1-native equivalent with the same (m, n) sparse design-matrix role."""
+        d1, d2 = dims
+        dim = (
+            1
+            if isinstance(self.mesh, IntervalMesh)
+            else self.mesh.embedding_dim
+        )
+        e = np.zeros(dim)
+        e[d1] = 1.0
+        B = self.advection_matrix(e)  # ∫ φᵢ ∂φⱼ/∂x_{d1}
+        Ml = self.mass_matrix(lumped=True)
+        from ..sparse.matrix import spdiag
+
+        G1 = spdiag(1.0 / Ml.diagonal()) @ B  # nodal ∂/∂x_{d1} recovery
+        Dm = self.derivative_matrix(points, dim=d2)
+        return Dm @ G1
 
     def node_selection_matrix(self, node_idx) -> SparseMatrix:
         node_idx = np.asarray(node_idx, dtype=np.int64)

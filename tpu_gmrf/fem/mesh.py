@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 from scipy.spatial import ConvexHull, Delaunay, cKDTree
 
-__all__ = ["TriangleMesh", "IntervalMesh", "generate_mesh", "create_inflated_rectangle", "interval_mesh"]
+__all__ = ["TriangleMesh", "IntervalMesh", "generate_mesh", "create_inflated_rectangle", "interval_mesh", "icosphere"]
 
 
 class TriangleMesh:
@@ -162,3 +162,56 @@ def create_inflated_rectangle(
             tris.append([a, b, c])
             tris.append([a, c, d])
     return TriangleMesh(verts, np.asarray(tris))
+
+
+def icosphere(subdivisions: int = 3, radius: float = 1.0) -> TriangleMesh:
+    """Triangulated unit sphere by icosahedron subdivision — the pure-host
+    stand-in for the reference manifolds tutorial's Gmsh OpenCASCADE sphere
+    (reference docs/src/literate-tutorials/modelling_on_manifolds.jl:26-44).
+    `subdivisions=3` gives 642 vertices / 1280 triangles."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    for _ in range(subdivisions):
+        edges = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+        )
+        edges = np.sort(edges, axis=1)
+        uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+        mids = verts[uniq[:, 0]] + verts[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        mid_idx = len(verts) + np.arange(len(uniq))
+        verts = np.concatenate([verts, mids], axis=0)
+        m = len(faces)
+        ab, bc, ca = (
+            mid_idx[inv[:m]],
+            mid_idx[inv[m : 2 * m]],
+            mid_idx[inv[2 * m :]],
+        )
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        faces = np.concatenate(
+            [
+                np.stack([a, ab, ca], axis=1),
+                np.stack([b, bc, ab], axis=1),
+                np.stack([c, ca, bc], axis=1),
+                np.stack([ab, bc, ca], axis=1),
+            ],
+            axis=0,
+        )
+    return TriangleMesh(verts * radius, faces)

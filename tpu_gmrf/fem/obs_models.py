@@ -14,6 +14,7 @@ from ..observations.linearly_transformed import LinearlyTransformedObservationMo
 __all__ = [
     "PointEvaluationObsModel",
     "PointDerivativeObsModel",
+    "PointSecondDerivativeObsModel",
 ]
 
 
@@ -28,4 +29,12 @@ def PointDerivativeObsModel(disc, points, base_model, dim: int = 0, offset=None)
     """Observe y_i ~ base(∂u/∂x_dim (points_i)): A = derivative matrix
     (piecewise-constant P1 gradients on the containing element)."""
     A = disc.derivative_matrix(points, dim=dim)
+    return LinearlyTransformedObservationModel(base_model, A, offset)
+
+
+def PointSecondDerivativeObsModel(disc, points, base_model, dims=(0, 0), offset=None):
+    """Observe y_i ~ base(∂²u/∂x_{d2}∂x_{d1}(points_i)) via the recovered-
+    gradient second-derivative matrix (reference
+    ext/GaussianMarkovRandomFieldsFEM/fem_obs_models.jl:96-150)."""
+    A = disc.second_derivative_matrix(points, dims=dims)
     return LinearlyTransformedObservationModel(base_model, A, offset)

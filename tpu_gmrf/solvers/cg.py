@@ -20,6 +20,7 @@ from ..sparse.matrix import SparseMatrix
 
 __all__ = [
     "cg_solve",
+    "full_cholesky_preconditioner",
     "jacobi_preconditioner",
     "block_jacobi_preconditioner",
     "temporal_block_gauss_seidel_preconditioner",
@@ -144,3 +145,14 @@ def temporal_block_gauss_seidel_preconditioner(
         return x.reshape(-1)
 
     return apply
+
+
+def full_cholesky_preconditioner(Q: SparseMatrix, spec=None) -> Callable:
+    """P = Q itself, applied via a full factorization — one CG iteration
+    converges exactly; a building block for hybrid schemes (reference
+    src/preconditioners/full_cholesky.jl:15-35). Uses the trace-time solver
+    dispatch, so the factorization backend follows the pattern."""
+    from .base import SolverSpec, factorize
+
+    factor = factorize(Q, spec if spec is not None else SolverSpec())
+    return lambda r: factor.solve(r)
