@@ -174,7 +174,10 @@ def bench_flagship_ar1():
 
     rng = np.random.default_rng(0)
     model = AR1Model(n)
-    x_true = np.asarray(model(tau=1.0, rho=0.7).sample(jax.random.PRNGKey(0)))
+    # jit: eager sampling through the axon tunnel costs minutes of op round trips
+    x_true = np.asarray(
+        jax.jit(lambda k: model(tau=1.0, rho=0.7).sample(k))(jax.random.PRNGKey(0))
+    )
     y = rng.poisson(np.exp(np.clip(x_true, -3, 3))).astype(np.float32)
     obs = ExponentialFamily("poisson")
     spec = ParamSpec(
@@ -212,21 +215,27 @@ def bench_flagship_ar1():
 def main():
     lines = {}
     for name, tmo in METRICS:
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--metric", name],
-                capture_output=True,
-                text=True,
-                timeout=tmo,
-            )
-            got = [l for l in out.stdout.splitlines() if l.startswith("{")]
-            if out.returncode != 0 or not got:
+        got = []
+        for attempt in range(2):  # one retry: transient UNAVAILABLE happens
+            try:
+                out = subprocess.run(
+                    [sys.executable, __file__, "--metric", name],
+                    capture_output=True,
+                    text=True,
+                    timeout=tmo,
+                )
+                got = [l for l in out.stdout.splitlines() if l.startswith("{")]
+                if out.returncode == 0 and got:
+                    break
                 tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
-                print(f"# bench {name} failed (rc={out.returncode}): {' | '.join(tail)}", flush=True)
-            lines[name] = got
-        except subprocess.TimeoutExpired:
-            print(f"# bench {name} timed out after {tmo}s", flush=True)
-            lines[name] = []
+                print(
+                    f"# bench {name} attempt {attempt + 1} failed "
+                    f"(rc={out.returncode}): {' | '.join(tail)}",
+                    flush=True,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"# bench {name} attempt {attempt + 1} timed out after {tmo}s", flush=True)
+        lines[name] = got
     # secondary metrics first, flagship line last (single-line parsers)
     for name, _ in METRICS[1:]:
         for l in lines.get(name, []):

@@ -1,0 +1,91 @@
+"""Reusing factorizations across hyperparameters.
+
+Mirrors the reference's `workspace_factorization_reuse.jl`: a Besag model on
+a 100×100 grid (10 000 nodes), evaluating `logpdf` over a 50-point τ grid —
+the inner loop of hyperparameter inference. The reference reuses a CHOLMOD
+symbolic analysis imperatively (`make_workspace` + `model(ws; θ...)`); here
+the same vocabulary is structural: the workspace freezes the pattern, the
+symbolic plan is cached per pattern, and XLA's jit cache replays the
+compiled numeric factorization — plus `WorkspacePool.batch_evaluate`, which
+vmaps the whole θ grid into ONE device dispatch (the TPU-native version of
+the reference's thread pool).
+
+Acceptance: warm path matches cold-path logpdfs to ~1e-5 rel and is faster.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from tpu_gmrf import BesagModel, make_workspace, make_workspace_pool
+
+
+def grid_adjacency(m, n):
+    idx = np.arange(m * n).reshape(n, m)
+    pairs = np.concatenate(
+        [
+            np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], 1),
+            np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], 1),
+        ]
+    )
+    W = sp.csr_matrix(
+        (np.ones(len(pairs)), (pairs[:, 0], pairs[:, 1])), shape=(m * n, m * n)
+    )
+    return W + W.T
+
+
+def main():
+    m_grid = 100
+    W = grid_adjacency(m_grid, m_grid)
+    N = W.shape[0]
+    model = BesagModel(W)
+    taus = np.linspace(0.5, 2.0, 50)
+
+    rng = np.random.default_rng(42)
+    z = rng.normal(size=N)
+    z -= z.mean()  # satisfy the sum-to-zero constraint
+    z = jnp.asarray(z, jnp.float32)
+
+    # -- cold path: fresh GMRF per θ (symbolic cost amortized only by the
+    # pattern cache; still one dispatch chain per θ) ------------------------
+    t0 = time.time()
+    cold = [float(model(tau=t).logpdf(z)) for t in taus[:4]]
+    t_cold4 = time.time() - t0
+    print(f"cold path: {t_cold4:.2f}s for 4 evaluations")
+
+    # -- warm path: workspace + one vmapped batch over the θ grid -----------
+    ws = make_workspace(model, tau=float(taus[0]))
+    pool = make_workspace_pool(model, tau=float(taus[0]))
+    t0 = time.time()
+    lps = pool.batch_evaluate(lambda g: g.logpdf(z), batch_size=10, tau=jnp.asarray(taus, jnp.float32))
+    lps = np.asarray(jax.block_until_ready(lps))
+    t_warm = time.time() - t0
+    t0 = time.time()
+    lps2 = np.asarray(
+        jax.block_until_ready(
+            pool.batch_evaluate(lambda g: g.logpdf(z), batch_size=10, tau=jnp.asarray(taus, jnp.float32))
+        )
+    )
+    t_warm2 = time.time() - t0
+    print(f"warm path: {t_warm:.2f}s first call (compile), {t_warm2:.2f}s steady state for {len(taus)} evaluations")
+
+    np.testing.assert_allclose(lps[:4], cold, rtol=2e-4)
+    per_eval_cold = t_cold4 / 4
+    per_eval_warm = t_warm2 / len(taus)
+    print(f"per-evaluation: cold {per_eval_cold*1e3:.1f} ms vs warm {per_eval_warm*1e3:.1f} ms "
+          f"({per_eval_cold/per_eval_warm:.1f}x)")
+    assert per_eval_warm < per_eval_cold
+    best = taus[np.argmax(lps)]
+    print(f"argmax_tau logpdf(z) = {best:.3f}")
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

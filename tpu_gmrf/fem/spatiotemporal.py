@@ -200,8 +200,18 @@ class AdvectionDiffusionSPDE:
         self.tau = float(tau)
         self.bc = bc
         self.constraint_noise = float(constraint_noise)
-        self.spatial_spde = MaternSPDE(disc, smoothness=spatial_smoothness, diffusion_factor=H)
-        self.initial_spde = MaternSPDE(disc, smoothness=initial_smoothness, diffusion_factor=H)
+        # the initial/spatial SPDEs inherit the constraint (the reference's
+        # discretization carries the constraint handler into every Matérn
+        # assembly, advection_diffusion.jl:162-165) — without this the SSM
+        # chain anchors at an unconstrained x₀ and the boundary is never pinned
+        self.spatial_spde = MaternSPDE(
+            disc, smoothness=spatial_smoothness, diffusion_factor=H,
+            bc=bc, boundary_noise=constraint_noise,
+        )
+        self.initial_spde = MaternSPDE(
+            disc, smoothness=initial_smoothness, diffusion_factor=H,
+            bc=bc, boundary_noise=constraint_noise,
+        )
 
     def discretize(
         self,

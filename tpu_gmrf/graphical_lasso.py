@@ -27,16 +27,31 @@ from .sparse.pattern import SparsePattern, union_patterns
 __all__ = ["soft_threshold_cov", "chordal_cover", "graphical_lasso"]
 
 
-def soft_threshold_cov(X: np.ndarray, threshold: float, shift: float = 0.0):
+def soft_threshold_cov(X: np.ndarray, threshold, shift: float = 0.0):
     """Soft-thresholded sample covariance (off-diagonals shrunk toward 0 by
-    `threshold`; diagonal kept + optional shift). Returns (C dense masked,
-    pattern, mean)."""
+    `threshold`; diagonal kept + optional shift). `threshold` may be a scalar
+    λ or a sparse/dense per-entry penalty matrix Λ — the *restricted*
+    graphical lasso (reference docs graphical_lasso.jl:68-80): entries outside
+    Λ's pattern are forced to zero. Returns (C dense masked, pattern, mean)."""
     X = np.asarray(X, dtype=np.float64)
     m, n = X.shape
     mu = X.mean(axis=0)
     Xc = X - mu
     S = (Xc.T @ Xc) / m
-    C = np.where(S > threshold, S - threshold, np.where(S < -threshold, S + threshold, 0.0))
+    if np.isscalar(threshold):
+        lam = float(threshold)
+        allowed = None
+    else:
+        if isinstance(threshold, SparseMatrix):
+            lam = np.asarray(threshold.todense())
+        elif hasattr(threshold, "toarray"):
+            lam = threshold.toarray()
+        else:
+            lam = np.asarray(threshold, dtype=np.float64)
+        allowed = lam != 0.0
+    C = np.where(S > lam, S - lam, np.where(S < -lam, S + lam, 0.0))
+    if allowed is not None:
+        C = np.where(allowed, C, 0.0)
     np.fill_diagonal(C, np.diag(S) + shift)
     pattern = SparsePattern.from_dense_mask(C != 0.0)
     return C, pattern, mu

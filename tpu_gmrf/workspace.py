@@ -97,6 +97,28 @@ class WorkspacePool:
     def with_workspace(self, fn):
         return fn(self.workspace)
 
+    def batch_evaluate(self, fn, batch_size: int | None = None, **theta_arrays):
+        """The TPU-native replacement for thread-checkout parallelism: one
+        vmapped dispatch over a θ batch. `fn(gmrf) -> pytree` is evaluated at
+        every θ (arrays of matching leading dim) in a single compiled call —
+        this is the batching the pool docstring recommends instead of the
+        reference's per-thread workspaces (workspace_pool.jl:44-62).
+        `batch_size` bounds peak memory by scanning vmapped chunks
+        (`lax.map(..., batch_size=...)`)."""
+        import jax
+        import jax.numpy as jnp
+
+        names = sorted(theta_arrays)
+        stacked = [jnp.asarray(theta_arrays[k]) for k in names]
+
+        def one(vals):
+            g = self.workspace.evaluate(**dict(zip(names, vals)))
+            return fn(g)
+
+        if batch_size is None:
+            return jax.vmap(one)(stacked)
+        return jax.lax.map(one, stacked, batch_size=batch_size)
+
 
 def make_workspace(
     model,
