@@ -37,6 +37,7 @@ METRICS = [
     ("flagship_ar1", 900),
     ("supernodal_factorize_selinv", 540),
     ("spatial_poisson_nuts", 540),
+    ("bsr_spmv", 420),
 ]
 
 
@@ -212,6 +213,51 @@ def bench_flagship_ar1():
     )
 
 
+def bench_bsr_spmv():
+    """Pallas BSR spmv (the CG/RBMC hot multiply) vs the XLA COO segment-sum
+    matvec on a ~16k-node Matérn pattern, 8 RHS. Emits effective GB/s for the
+    Pallas path with vs_baseline = speedup over the COO path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_gmrf import MaternModel
+    from tpu_gmrf.kernels import bsr_from_sparse, pallas_mode
+    from tpu_gmrf.solvers.base import SolverSpec
+
+    gx, gy = np.meshgrid(np.linspace(0, 1, 100), np.linspace(0, 1, 100))
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    model = MaternModel(pts, smoothness=1, solver=SolverSpec(kind="cg"))
+    Q = model.precision(tau=1.0, range=0.25)
+    n, k = Q.shape[0], 8
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, k)), jnp.float32)
+
+    A = bsr_from_sparse(Q)
+
+    coo = jax.jit(lambda v: Q.matvec(v))
+    pal = jax.jit(lambda v: A.matvec(v))
+
+    def timeit(fn):
+        y = fn(x)
+        jax.block_until_ready(y)
+        reps = 50
+        t0 = time.time()
+        for _ in range(reps):
+            y = fn(x)
+        jax.block_until_ready(y)
+        return (time.time() - t0) / reps
+
+    t_coo = timeit(coo)
+    t_pal = timeit(pal)
+    bs = A.plan.bs
+    bytes_streamed = A.plan.nblocks * bs * bs * 4 + 2 * n * k * 4
+    _emit(
+        f"bsr_spmv_gbps_n{n}_k{k}_bs{bs}_mode_{pallas_mode()}",
+        bytes_streamed / t_pal / 1e9,
+        "GB/s",
+        vs_baseline=t_coo / t_pal,
+    )
+
+
 def main():
     lines = {}
     for name, tmo in METRICS:
@@ -250,6 +296,7 @@ if __name__ == "__main__":
             "flagship_ar1": bench_flagship_ar1,
             "supernodal_factorize_selinv": bench_supernodal_factorize_selinv,
             "spatial_poisson_nuts": bench_spatial_poisson_nuts,
+            "bsr_spmv": bench_bsr_spmv,
         }[sys.argv[2]]()
     else:
         main()

@@ -1,0 +1,77 @@
+"""Benchmark regression gate (reference benchmarks/compare_results.jl role).
+
+Usage:
+    python compare_bench.py current.json [--history BENCH_r*.json] [--threshold 0.5]
+
+`current.json` holds one JSON object per line (bench.py output). For every
+metric present in both the current run and the best historical run, fail
+(exit 1) if current value < (1 - threshold) × best historical value —
+i.e. a >50% throughput regression by default. Metrics are throughputs
+(higher is better). Prints a comparison table either way.
+"""
+
+import argparse
+import glob
+import json
+import sys
+
+
+def load_metrics(path):
+    out = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "metric" in d and "value" in d:
+                    out[d["metric"]] = float(d["value"])
+    except OSError:
+        pass
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("current")
+    ap.add_argument("--history", nargs="*", default=None)
+    ap.add_argument("--threshold", type=float, default=0.5)
+    args = ap.parse_args()
+
+    current = load_metrics(args.current)
+    if not current:
+        print(f"no metrics found in {args.current}", file=sys.stderr)
+        sys.exit(2)
+
+    hist_files = args.history
+    if hist_files is None:
+        hist_files = sorted(glob.glob("BENCH_r*.json"))
+    best = {}
+    for hf in hist_files:
+        for k, v in load_metrics(hf).items():
+            best[k] = max(best.get(k, 0.0), v)
+
+    failed = []
+    print(f"{'metric':<60} {'current':>12} {'best':>12} {'ratio':>7}")
+    for k, v in current.items():
+        b = best.get(k)
+        if b is None or b <= 0:
+            print(f"{k:<60} {v:>12.3f} {'--':>12} {'--':>7}")
+            continue
+        ratio = v / b
+        flag = " REGRESSION" if ratio < 1.0 - args.threshold else ""
+        print(f"{k:<60} {v:>12.3f} {b:>12.3f} {ratio:>7.2f}{flag}")
+        if flag:
+            failed.append(k)
+    if failed:
+        print(f"\nFAIL: >{args.threshold:.0%} regression on: {', '.join(failed)}")
+        sys.exit(1)
+    print("\nOK: no regression beyond threshold")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,3 +36,11 @@ def random_sparse_spd(rng, n, density=0.05):
     A = A + A.T
     A = A + sp.eye(n) * (np.abs(A).sum(axis=1).max() + 1.0)
     return A.tocsr()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight compile/scale tests — excluded from the smoke tier "
+        "(run `pytest -m 'not slow'` for <5 min CI; full tier runs nightly)",
+    )

@@ -141,12 +141,15 @@ class CGFactor:
     def solve(self, b):
         import jax
 
+        from ..kernels import hot_matvec
         from .cg import cg_solve, jacobi_preconditioner
 
         if b.ndim > 1:
             return jax.vmap(self.solve, in_axes=1, out_axes=1)(b)
+        # CG multiplies by the SAME Q hundreds of times: on TPU this routes
+        # through the Pallas BSR spmv kernel (one blocking scatter up front)
         x, _, _ = cg_solve(
-            self.Q.matvec,
+            hot_matvec(self.Q),
             b,
             preconditioner=jacobi_preconditioner(self.Q),
             tol=self.tol,

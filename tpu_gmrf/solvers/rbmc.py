@@ -17,11 +17,13 @@ __all__ = ["rbmc_var", "block_rbmc_var"]
 
 
 def rbmc_var(gmrf, key, n_samples: int = 1000) -> jnp.ndarray:
+    from ..kernels import hot_matvec
+
     Q = gmrf.Q
     D = Q.diagonal()
     Dinv = 1.0 / D
     xs = gmrf.sample(key, (n_samples,)) - gmrf.mean  # (S, n)
-    Qx = jax.vmap(Q.matvec)(xs)  # (S, n)
+    Qx = hot_matvec(Q)(xs.T).T  # one (n, S) mat-mat — Pallas BSR on TPU
     transformed = Dinv * (Qx - D * xs)
     return Dinv + jnp.var(transformed, axis=0, ddof=1)
 
