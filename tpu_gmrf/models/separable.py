@@ -93,16 +93,16 @@ class SeparableModel(LatentModel):
         return Q
 
     def mean(self, **theta):
+        # traceable (LatentModel.__call__ jits materialization): jnp.kron,
+        # no host round trips
         per_comp = self._split_theta(theta)
         means = [
-            np.asarray(c.mean(**sub)) for c, sub in zip(self.components, per_comp)
+            jnp.asarray(c.mean(**sub)) for c, sub in zip(self.components, per_comp)
         ]
-        if all(not m.any() for m in means):
-            return jnp.zeros(self.n)
         out = means[0]
         for m in means[1:]:
-            out = np.kron(out, m)
-        return jnp.asarray(out)
+            out = jnp.kron(out, m)
+        return out
 
     def constraints(self):
         sizes = [c.n for c in self.components]
