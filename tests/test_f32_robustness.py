@@ -30,6 +30,7 @@ def _ill_conditioned_matern(npts=24):
 
 
 @pytest.mark.parametrize("backend", ["supernodal", "banded", "dense"])
+@pytest.mark.slow
 def test_f32_illconditioned_factorization(backend):
     Q = _ill_conditioned_matern()
     Q64 = dataclasses.replace(Q, data=jnp.asarray(np.asarray(Q.data), jnp.float64))

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -103,6 +104,7 @@ def test_barrier_model_blocks_correlation():
     assert corr_across < 0.35
 
 
+@pytest.mark.slow
 def test_structured_observation_model(rng):
     """Pairwise difference observations y_ij ~ N(x_i - x_j, σ) as a factor
     graph; gradients/Hessian match AD; GA runs."""

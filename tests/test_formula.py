@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ def test_string_formula_iid_rw(rng):
     assert np.all(np.isfinite(np.asarray(post.mean)))
 
 
+@pytest.mark.slow
 def test_formula_besag_poisson_exposure(rng):
     """Scotland-lip-cancer shape: Poisson + exposure + Besag + intercept
     (reference bym_scotland tutorial)."""

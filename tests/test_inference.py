@@ -198,6 +198,7 @@ def test_marginal_loglik_gaussian_exact(rng):
     np.testing.assert_allclose(ml, ref, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_laplace_marginal_gradient_vs_fd(rng):
     """The flagship gradient: d/dθ of the Laplace marginal via IFT custom-vjp
     must match finite differences (reference test strategy §4.3)."""
@@ -227,6 +228,7 @@ def test_laplace_marginal_gradient_vs_fd(rng):
         np.testing.assert_allclose(g[i], fd, rtol=2e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_laplace_marginal_gradient_constrained_vs_fd(rng):
     """IFT gradient with KKT-constrained Newton (RW1 prior)."""
     n = 15
@@ -243,6 +245,7 @@ def test_laplace_marginal_gradient_constrained_vs_fd(rng):
     np.testing.assert_allclose(g, fd, rtol=5e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_laplace_marginal_obs_hyperparam_gradient(rng):
     """Gradient w.r.t. an observation hyperparameter (sigma) via the IFT."""
     n = 12
@@ -309,6 +312,7 @@ def test_joint_gmrf(rng):
 # ---- forward-mode AD through the inference stack (reference ext/forwarddiff/) ----
 
 
+@pytest.mark.slow
 def test_laplace_marginal_jacfwd_vs_fd(rng):
     """Forward-mode (jacfwd) through laplace_marginal — the custom_jvp IFT
     rule (reference ext/forwarddiff/autodiff_likelihood_ift.jl:1-27) — must
@@ -337,6 +341,7 @@ def test_laplace_marginal_jacfwd_vs_fd(rng):
         np.testing.assert_allclose(g_fwd[i], fd, rtol=2e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_laplace_marginal_hessian_fwd_over_rev(rng):
     """jax.hessian (forward-over-reverse) of the Laplace marginal — the
     INLA-style θ-posterior curvature — matches FD of the gradient."""
@@ -366,6 +371,7 @@ def test_laplace_marginal_hessian_fwd_over_rev(rng):
         np.testing.assert_allclose(H[:, j], fd_col, rtol=5e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_laplace_marginal_jacfwd_constrained(rng):
     """Forward mode through the KKT-constrained Newton (RW1 prior)."""
     n = 15

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def test_maximin_ordering_properties(rng):
     assert np.all(np.diff(ell[:-1]) >= -1e-12)
 
 
+@pytest.mark.slow
 def test_kl_cholesky_exact_with_full_pattern(rng):
     """With rho large enough the pattern is dense → exact inverse."""
     X = rng.uniform(0, 1, size=(25, 2))
@@ -40,6 +42,7 @@ def test_kl_cholesky_exact_with_full_pattern(rng):
     )
 
 
+@pytest.mark.slow
 def test_kl_cholesky_sparse_approximation_quality(rng):
     """Moderate rho: KL divergence to the true GP is small and decreases
     with rho (reference kl_approximation tutorial behavior)."""
