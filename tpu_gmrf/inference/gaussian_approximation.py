@@ -50,6 +50,9 @@ class GAOptions:
     newton_dec_tol: float = 1e-5
     adaptive_stepsize: bool = True
     max_linesearch_iter: int = 10
+    # static flag: per-iteration Newton diagnostics via jax.debug.print
+    # (the reference's `verbose=true` path); zero overhead when False
+    verbose: bool = False
     # solver for the Newton-iteration factorizations (auto: tridiagonal
     # posteriors use the O(n) scan backend, others batched dense on MXU)
     inner_solver: SolverSpec = SolverSpec()
@@ -148,6 +151,11 @@ def _newton_mode_impl(opts, Q_p, mu_p, obs_lik, x0, A):
         # remaining iterations; the NaN posterior is rejected downstream
         # (NUTS treats NaN energy as divergence).
         converged = converged | ~jnp.isfinite(newton_dec) | ~jnp.isfinite(mean_change)
+        if opts.verbose:
+            jax.debug.print(
+                "newton it={it}  dec={dec:.3e}  |dx|={mc:.3e}  alpha={a:.2e}",
+                it=it, dec=newton_dec, mc=mean_change, a=alpha,
+            )
         return x_new, alpha, it + 1, converged
 
     def newton_cond(state):
@@ -259,6 +267,11 @@ def _newton_mode_nl_impl(opts, prior, obs_lik, x0):
             | (rel_change < opts.mean_change_tol)
         )
         converged = converged | ~jnp.isfinite(newton_dec) | ~jnp.isfinite(mean_change)
+        if opts.verbose:
+            jax.debug.print(
+                "newton it={it}  dec={dec:.3e}  |dx|={mc:.3e}  alpha={a:.2e}",
+                it=it, dec=newton_dec, mc=mean_change, a=alpha,
+            )
         return x_new, alpha, it + 1, converged
 
     def newton_cond(state):

@@ -50,6 +50,7 @@ def _single_chain(
     num_samples,
     initial_step_size,
     target_accept,
+    progress_every=None,
 ):
     dim = init_position.shape[0]
     dtype = init_position.dtype
@@ -92,12 +93,26 @@ def _single_chain(
     )
     step_size = jnp.exp(da.log_step_avg)
 
-    def sample_step(state, key):
+    def sample_step(state, inp):
+        i, key = inp
         state, info = kernel(key, state, step_size, inv_mass)
+        if progress_every:
+            # progress hook (reference verbose/progress-meter parity): fires
+            # per chain under vmap — use for few-chain diagnostic runs
+            jax.lax.cond(
+                i % progress_every == 0,
+                lambda: jax.debug.print(
+                    "sampling draw {i}/{n}  logdensity={ld:.3f}",
+                    i=i, n=num_samples, ld=state.logdensity,
+                ),
+                lambda: None,
+            )
         return state, (state.position, state.logdensity, info)
 
     sample_keys = jax.random.split(key, num_samples)
-    state, (positions, lds, infos) = jax.lax.scan(sample_step, state, sample_keys)
+    state, (positions, lds, infos) = jax.lax.scan(
+        sample_step, state, (jnp.arange(num_samples), sample_keys)
+    )
     return positions, lds, step_size, inv_mass, infos
 
 
@@ -112,6 +127,7 @@ def _run(
     target_accept,
     mesh=None,
     axis_name="chains",
+    progress_every=None,
 ):
     init_positions = jnp.atleast_2d(jnp.asarray(init_positions))
     num_chains = init_positions.shape[0]
@@ -125,6 +141,7 @@ def _run(
         num_samples=num_samples,
         initial_step_size=initial_step_size,
         target_accept=target_accept,
+        progress_every=progress_every,
     )
     vmapped = jax.vmap(chain_fn)
 
@@ -165,10 +182,11 @@ def run_nuts(
     initial_step_size: float = 0.1,
     target_accept: float = 0.8,
     mesh=None,
+    progress_every: int | None = None,
 ) -> NUTSResult:
     """Multi-chain NUTS. `init_positions`: (chains, dim) or (dim,).
     Pass `mesh` (jax.sharding.Mesh over one axis) to shard chains over
-    devices."""
+    devices; `progress_every=k` prints a progress line every k draws."""
     kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
     return _run(
         logdensity_fn,
@@ -180,6 +198,7 @@ def run_nuts(
         initial_step_size,
         target_accept,
         mesh=mesh,
+        progress_every=progress_every,
     )
 
 
