@@ -253,3 +253,164 @@ def test_kwarg_alias(rng):
     x = jnp.zeros(M)
     ref = ExponentialFamily("normal")(y, sigma=1.3)
     np.testing.assert_allclose(float(lik.loglik(x)), float(ref.loglik(x)), rtol=1e-12)
+
+
+# ---- conditional_distribution (predictive) ---------------------------------
+# Reference: src/observation_models/observation_model.jl:119-154,
+# exponential_family.jl:214-274, linearly_transformed.jl:372-377.
+
+
+class TestConditionalDistribution:
+    def test_poisson_moments_and_logpdf(self, rng):
+        import scipy.stats as st
+        from tpu_gmrf import conditional_distribution
+
+        x = jnp.asarray(rng.normal(size=12))
+        model = ExponentialFamily("poisson")
+        d = conditional_distribution(model, x)
+        mu = np.exp(np.asarray(x))
+        np.testing.assert_allclose(np.asarray(d.mean()), mu, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(d.var()), mu, rtol=1e-6)
+        y = rng.poisson(mu).astype(float)
+        np.testing.assert_allclose(
+            np.asarray(d.logpdf(y)), st.poisson.logpmf(y, mu), rtol=1e-6
+        )
+
+    def test_poisson_offset(self, rng):
+        from tpu_gmrf import conditional_distribution
+
+        x = jnp.asarray(rng.normal(size=5))
+        off = jnp.asarray(np.log(rng.uniform(1, 4, size=5)))
+        d = conditional_distribution(ExponentialFamily("poisson"), x, offset=off)
+        np.testing.assert_allclose(
+            np.asarray(d.mean()), np.exp(np.asarray(x) + np.asarray(off)), rtol=1e-6
+        )
+
+    def test_bernoulli_binomial_negbin_gamma(self, rng):
+        import scipy.stats as st
+        from tpu_gmrf import conditional_distribution
+
+        x = jnp.asarray(rng.normal(size=8))
+        p = 1 / (1 + np.exp(-np.asarray(x)))
+
+        d = conditional_distribution(ExponentialFamily("bernoulli"), x)
+        np.testing.assert_allclose(np.asarray(d.mean()), p, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(d.var()), p * (1 - p), rtol=1e-6)
+
+        d = conditional_distribution(ExponentialFamily("binomial"), x, trials=7.0)
+        np.testing.assert_allclose(np.asarray(d.mean()), 7 * p, rtol=1e-6)
+        y = rng.binomial(7, p).astype(float)
+        np.testing.assert_allclose(
+            np.asarray(d.logpdf(y)), st.binom.logpmf(y, 7, p), rtol=1e-5
+        )
+
+        mu = np.exp(np.asarray(x))
+        d = conditional_distribution(ExponentialFamily("negbin"), x, r=3.0)
+        np.testing.assert_allclose(np.asarray(d.mean()), mu, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(d.var()), mu + mu**2 / 3.0, rtol=1e-6)
+
+        d = conditional_distribution(ExponentialFamily("gamma"), x, phi=2.5)
+        np.testing.assert_allclose(np.asarray(d.mean()), mu, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(d.var()), mu**2 / 2.5, rtol=1e-6)
+
+    def test_sampling_matches_moments(self):
+        from tpu_gmrf import conditional_distribution
+
+        x = jnp.full((4,), 1.2)
+        d = conditional_distribution(ExponentialFamily("poisson"), x)
+        keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+        samp = jax.vmap(d.sample)(keys)
+        np.testing.assert_allclose(
+            float(jnp.mean(samp)), float(np.exp(1.2)), rtol=0.05
+        )
+
+    def test_linearly_transformed_forwarding(self, rng):
+        from tpu_gmrf import (
+            LinearlyTransformedObservationModel,
+            conditional_distribution,
+        )
+
+        A = jnp.asarray(rng.normal(size=(6, 4)))
+        b = jnp.asarray(rng.normal(size=6))
+        model = LinearlyTransformedObservationModel(
+            ExponentialFamily("bernoulli"), A, b=b
+        )
+        x = jnp.asarray(rng.normal(size=4))
+        d = conditional_distribution(model, x)
+        eta = np.asarray(A @ x + b)
+        np.testing.assert_allclose(
+            np.asarray(d.mean()), 1 / (1 + np.exp(-eta)), rtol=1e-6
+        )
+
+    def test_nlsq_normal_predictive(self, rng):
+        from tpu_gmrf import NonlinearLeastSquaresModel, conditional_distribution
+
+        f = lambda x: jnp.tanh(x) ** 2
+        model = NonlinearLeastSquaresModel(f)
+        x = jnp.asarray(rng.normal(size=5))
+        d = conditional_distribution(model, x, sigma=0.3)
+        np.testing.assert_allclose(
+            np.asarray(d.mean()), np.tanh(np.asarray(x)) ** 2, rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(d.var()), 0.09, rtol=1e-6)
+
+    def test_jittable(self, rng):
+        from tpu_gmrf import conditional_distribution
+
+        model = ExponentialFamily("poisson")
+
+        @jax.jit
+        def predict(x):
+            d = conditional_distribution(model, x)
+            return d.mean(), d.var()
+
+        x = jnp.asarray(rng.normal(size=9))
+        m, v = predict(x)
+        np.testing.assert_allclose(np.asarray(m), np.exp(np.asarray(x)), rtol=1e-6)
+
+
+class TestParameterizedDesign:
+    """θ-dependent design matrices / offsets with fixed patterns
+    (reference linearly_transformed.jl:40-104)."""
+
+    def test_parameterized_offset_routing(self, rng):
+        from tpu_gmrf import (
+            LinearlyTransformedObservationModel,
+            ParameterizedOffset,
+        )
+
+        A = jnp.asarray(rng.normal(size=(6, 4)))
+        y = rng.normal(size=6)
+        base = ExponentialFamily("normal")
+        off = ParameterizedOffset(
+            lambda s: s * jnp.arange(6.0), hyperparameters=("s",)
+        )
+        model = LinearlyTransformedObservationModel(base, A, b=off)
+        assert model.hyperparameters == ("sigma", "s")
+        lik = model(y, sigma=1.0, s=0.5)
+        x = jnp.asarray(rng.normal(size=4))
+        ref = LinearlyTransformedObservationModel(
+            base, A, b=0.5 * np.arange(6.0)
+        )(y, sigma=1.0)
+        np.testing.assert_allclose(float(lik.loglik(x)), float(ref.loglik(x)), rtol=1e-12)
+
+    def test_parameterized_matrix_grad(self, rng):
+        from tpu_gmrf import (
+            LinearlyTransformedObservationModel,
+            ParameterizedMatrix,
+        )
+
+        A0 = jnp.asarray(rng.normal(size=(5, 3)))
+        y = rng.normal(size=5)
+        pm = ParameterizedMatrix(lambda c: c * A0, hyperparameters=("c",), n_latent=3)
+        model = LinearlyTransformedObservationModel(ExponentialFamily("normal"), pm)
+        x = jnp.asarray(rng.normal(size=3))
+
+        @jax.jit
+        def ll(c):
+            return model(y, sigma=1.0, c=c).loglik(x)
+
+        g = float(jax.grad(ll)(jnp.asarray(0.7)))
+        eps = 1e-5
+        fd = (float(ll(jnp.asarray(0.7 + eps))) - float(ll(jnp.asarray(0.7 - eps)))) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=1e-4)

@@ -67,11 +67,14 @@ from .observations import (
     AutoDiffObservationModel,
     BinomialObservations,
     CompositeObservationModel,
+    conditional_distribution,
     ExponentialFamily,
     LinearlyTransformedObservationModel,
     NegativeBinomialObservations,
     NonlinearLeastSquaresModel,
     ObservationLikelihood,
+    ParameterizedMatrix,
+    ParameterizedOffset,
     ObservationModel,
     PoissonObservations,
     ZeroLikelihood,

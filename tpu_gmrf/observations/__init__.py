@@ -2,6 +2,10 @@ from .base import ObservationModel, ObservationLikelihood
 from .exponential_family import (
     ExponentialFamily,
     EFLikelihood,
+    Predictive,
+    apply_invlink,
+    apply_link,
+    conditional_distribution,
     IdentityLink,
     LogLink,
     LogitLink,
@@ -12,6 +16,8 @@ from .exponential_family import (
 from .linearly_transformed import (
     LinearlyTransformedObservationModel,
     LinearlyTransformedLikelihood,
+    ParameterizedMatrix,
+    ParameterizedOffset,
 )
 from .autodiff import (
     AutoDiffObservationModel,
@@ -27,6 +33,10 @@ __all__ = [
     "ObservationLikelihood",
     "ExponentialFamily",
     "EFLikelihood",
+    "Predictive",
+    "apply_link",
+    "apply_invlink",
+    "conditional_distribution",
     "IdentityLink",
     "LogLink",
     "LogitLink",
@@ -35,6 +45,8 @@ __all__ = [
     "NegativeBinomialObservations",
     "LinearlyTransformedObservationModel",
     "LinearlyTransformedLikelihood",
+    "ParameterizedMatrix",
+    "ParameterizedOffset",
     "AutoDiffObservationModel",
     "AutoDiffLikelihood",
     "NonlinearLeastSquaresModel",

@@ -162,6 +162,18 @@ class NonlinearLeastSquaresModel(ObservationModel):
             jac_pattern=self.jac_pattern,
         )
 
+    def conditional_distribution(self, x, sigma, **_):
+        """Predictive y | x ~ Normal(f(x), σ)
+        (reference nonlinear_least_squares.jl:249)."""
+        from .exponential_family import Predictive
+
+        return Predictive(
+            eta=self.f(jnp.asarray(x)),
+            params={"sigma": jnp.asarray(sigma)},
+            family="normal",
+            link="identity",
+        )
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

@@ -32,6 +32,9 @@ __all__ = [
     "BinomialObservations",
     "NegativeBinomialObservations",
     "EFLikelihood",
+    "Predictive",
+    "apply_link",
+    "apply_invlink",
 ]
 
 _LOG2PI = 1.8378770664093453
@@ -64,6 +67,25 @@ class LogitLink(Link):
 
 
 _LINKS = {"identity": IdentityLink, "log": LogLink, "logit": LogitLink}
+
+
+def apply_invlink(link, eta):
+    """μ = g⁻¹(η) for a link name or Link class (reference `apply_invlink`)."""
+    if isinstance(link, str):
+        link = _LINKS[link]
+    return link.inv(eta)
+
+
+def apply_link(link, mu):
+    """η = g(μ) for a link name or Link class (reference `apply_link`)."""
+    name = link if isinstance(link, str) else link.name
+    if name == "identity":
+        return mu
+    if name == "log":
+        return jnp.log(mu)
+    if name == "logit":
+        return jnp.log(mu) - jnp.log1p(-mu)
+    raise ValueError(f"unknown link {name}")
 
 _CANONICAL = {
     "normal": "identity",
@@ -268,6 +290,111 @@ class EFLikelihood(ObservationLikelihood):
         return self._embed(h, x)
 
 
+# ---- predictive (conditional) distribution ---------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Predictive:
+    """Predictive distribution p(y | x) at a fixed linear predictor — the
+    reference's `conditional_distribution` return value
+    (src/observation_models/exponential_family/exponential_family.jl:214-274,
+    a Distributions.jl product distribution). TPU-native: a pytree with
+    vectorized `mean`/`var`/`sample`/`logpdf` so predictions stay jittable.
+    """
+
+    eta: Any  # linear predictor, offset already applied
+    params: Any  # family parameter dict (sigma, r, phi, nu, trials)
+    family: str = dataclasses.field(metadata=dict(static=True))
+    link: str = dataclasses.field(metadata=dict(static=True))
+
+    def _lik(self, y) -> "EFLikelihood":
+        return EFLikelihood(
+            y=jnp.asarray(y),
+            params=self.params,
+            offset=None,
+            indices=None,
+            family=self.family,
+            link=self.link,
+        )
+
+    @property
+    def mu(self):
+        return _LINKS[self.link].inv(self.eta)
+
+    def mean(self):
+        mu, f = self.mu, self.family
+        if f == "binomial":
+            return self.params["trials"] * mu
+        return mu
+
+    def var(self):
+        mu, f = self.mu, self.family
+        if f == "normal":
+            return jnp.broadcast_to(self.params["sigma"] ** 2, jnp.shape(mu))
+        if f == "poisson":
+            return mu
+        if f == "bernoulli":
+            return mu * (1.0 - mu)
+        if f == "binomial":
+            return self.params["trials"] * mu * (1.0 - mu)
+        if f == "negativebinomial":
+            return mu + mu**2 / self.params["r"]
+        if f == "gamma":
+            return mu**2 / self.params["phi"]
+        if f == "studentt":
+            # unit-variance parameterization: Var = sigma² by construction
+            return jnp.broadcast_to(self.params["sigma"] ** 2, jnp.shape(mu))
+        raise ValueError(f"unknown family {f}")
+
+    def std(self):
+        return jnp.sqrt(self.var())
+
+    def logpdf(self, y):
+        """Pointwise log p(yᵢ | ηᵢ) — same closed forms as the likelihood."""
+        return self._lik(y)._pointwise_eta(self.eta)
+
+    def sample(self, key):
+        mu, f = self.mu, self.family
+        if f == "normal":
+            return mu + self.params["sigma"] * jax.random.normal(
+                key, jnp.shape(mu), mu.dtype
+            )
+        if f == "poisson":
+            return jax.random.poisson(key, mu).astype(mu.dtype)
+        if f == "bernoulli":
+            return jax.random.bernoulli(key, mu).astype(mu.dtype)
+        if f == "binomial":
+            n = jnp.broadcast_to(self.params["trials"], jnp.shape(mu))
+            return jax.random.binomial(key, n, mu).astype(mu.dtype)
+        if f == "negativebinomial":
+            # Gamma-Poisson mixture: λ ~ Gamma(r, μ/r), y ~ Poisson(λ)
+            k1, k2 = jax.random.split(key)
+            r = self.params["r"]
+            lam = jax.random.gamma(k1, jnp.broadcast_to(r, jnp.shape(mu))) * mu / r
+            return jax.random.poisson(k2, lam).astype(mu.dtype)
+        if f == "gamma":
+            phi = self.params["phi"]
+            g = jax.random.gamma(key, jnp.broadcast_to(phi, jnp.shape(mu)))
+            return g * mu / phi
+        if f == "studentt":
+            sigma, nu = self.params["sigma"], self.params["nu"]
+            sigma_eff = sigma * jnp.sqrt((nu - 2.0) / nu)
+            return mu + sigma_eff * jax.random.t(key, nu, jnp.shape(mu), mu.dtype)
+        raise ValueError(f"unknown family {f}")
+
+
+def conditional_distribution(obs_model, x, **params):
+    """Predictive distribution of y given latent x under `obs_model`
+    (reference src/observation_models/observation_model.jl:119-154).
+
+    Dispatches on the model type: ExponentialFamily evaluates the inverse
+    link at η = x[indices] (+ offset); LinearlyTransformed forwards η = Ax+b
+    to its base; NonlinearLeastSquares returns Normal(f(x), σ).
+    """
+    return obs_model.conditional_distribution(x, **params)
+
+
 # ---- factory ---------------------------------------------------------------
 
 
@@ -319,6 +446,31 @@ class ExponentialFamily(ObservationModel):
         return tuple(
             self.aliases.get(p, p) for p in _FAMILY_PARAMS[self.family]
         )
+
+    def conditional_distribution(self, x, **theta) -> Predictive:
+        """Predictive p(y | x): η = x[indices] (+ offset), μ = g⁻¹(η)
+        (reference exponential_family.jl:214-274)."""
+        params = {}
+        for p in _FAMILY_PARAMS[self.family]:
+            outer = self.aliases.get(p, p)
+            if outer in theta:
+                params[p] = jnp.asarray(theta[outer])
+            elif p != "trials":
+                raise ValueError(f"missing family parameter: {outer}")
+        if self.family == "binomial":
+            if "trials" in theta:
+                params["trials"] = jnp.asarray(theta["trials"])
+            else:
+                raise ValueError("binomial predictive requires trials=")
+        eta = jnp.asarray(x)
+        if self.indices is not None:
+            eta = eta[self.indices]
+        offset = theta.get("offset")
+        if offset is not None:
+            if self.link != "log":
+                raise ValueError("offset only supported with log link")
+            eta = eta + jnp.asarray(offset)
+        return Predictive(eta=eta, params=params, family=self.family, link=self.link)
 
     def __call__(self, y, **theta) -> EFLikelihood:
         fam = self.family

@@ -17,7 +17,42 @@ import jax.numpy as jnp
 from ..sparse.matrix import SparseMatrix, spdiag
 from .base import ObservationLikelihood, ObservationModel
 
-__all__ = ["LinearlyTransformedObservationModel", "LinearlyTransformedLikelihood"]
+__all__ = [
+    "LinearlyTransformedObservationModel",
+    "LinearlyTransformedLikelihood",
+    "ParameterizedMatrix",
+    "ParameterizedOffset",
+]
+
+
+class ParameterizedMatrix:
+    """θ-dependent design matrix with a fixed sparsity pattern
+    (reference linearly_transformed.jl:40-61): `builder(**θ_sub)` returns the
+    concrete A (SparseMatrix or dense) when called with the hyperparameters
+    it declares. Values may depend on θ; the pattern/shape may not — that is
+    the static-pattern contract that keeps the Newton loop jittable.
+    """
+
+    def __init__(self, builder, hyperparameters=(), n_latent=None):
+        self.builder = builder
+        self.hyperparameters = tuple(hyperparameters)
+        self.n_latent = n_latent
+
+    def resolve(self, theta):
+        return self.builder(**{k: theta[k] for k in self.hyperparameters})
+
+
+class ParameterizedOffset:
+    """θ-dependent additive offset b for the affine predictor η = A·x + b
+    (reference linearly_transformed.jl:63-104). The offset's values may
+    depend on θ but its length may not."""
+
+    def __init__(self, builder, hyperparameters=()):
+        self.builder = builder
+        self.hyperparameters = tuple(hyperparameters)
+
+    def resolve(self, theta):
+        return jnp.asarray(self.builder(**{k: theta[k] for k in self.hyperparameters}))
 
 
 @jax.tree_util.register_dataclass
@@ -72,17 +107,55 @@ class LinearlyTransformedLikelihood(ObservationLikelihood):
 
 
 class LinearlyTransformedObservationModel(ObservationModel):
-    """Wrap a base ObservationModel with η = A·x + b."""
+    """Wrap a base ObservationModel with η = A·x + b.
+
+    A may be a concrete SparseMatrix/dense array or a `ParameterizedMatrix`;
+    b may be a vector, a `ParameterizedOffset`, or None. Parameterized specs
+    are resolved once at materialization (`model(y, **θ)`), with their
+    declared hyperparameter names merged into the model's
+    (reference linearly_transformed.jl:40-104)."""
 
     def __init__(self, base_model: ObservationModel, A, b=None):
         self.base_model = base_model
         self.A = A
-        self.b = None if b is None else jnp.asarray(b)
+        if b is None or isinstance(b, ParameterizedOffset):
+            self.b = b
+        else:
+            self.b = jnp.asarray(b)
 
     @property
     def hyperparameters(self):
-        return getattr(self.base_model, "hyperparameters", ())
+        hp = tuple(getattr(self.base_model, "hyperparameters", ()))
+        if isinstance(self.A, ParameterizedMatrix):
+            hp += self.A.hyperparameters
+        if isinstance(self.b, ParameterizedOffset):
+            hp += self.b.hyperparameters
+        return hp
+
+    def _design_hp_names(self):
+        names = ()
+        if isinstance(self.A, ParameterizedMatrix):
+            names += self.A.hyperparameters
+        if isinstance(self.b, ParameterizedOffset):
+            names += self.b.hyperparameters
+        return set(names)
 
     def __call__(self, y, **theta) -> LinearlyTransformedLikelihood:
-        base = self.base_model(y, **theta)
-        return LinearlyTransformedLikelihood(base=base, A=self.A, b=self.b)
+        design = self._design_hp_names()
+        base = self.base_model(y, **{k: v for k, v in theta.items() if k not in design})
+        A = self.A.resolve(theta) if isinstance(self.A, ParameterizedMatrix) else self.A
+        b = self.b.resolve(theta) if isinstance(self.b, ParameterizedOffset) else self.b
+        return LinearlyTransformedLikelihood(base=base, A=A, b=b)
+
+    def conditional_distribution(self, x_full, **theta):
+        """Predictive at η = A·x + b forwarded to the base model
+        (reference linearly_transformed.jl:372-377)."""
+        design = self._design_hp_names()
+        A = self.A.resolve(theta) if isinstance(self.A, ParameterizedMatrix) else self.A
+        b = self.b.resolve(theta) if isinstance(self.b, ParameterizedOffset) else self.b
+        eta = A.matvec(x_full) if isinstance(A, SparseMatrix) else A @ x_full
+        if b is not None:
+            eta = eta + b
+        return self.base_model.conditional_distribution(
+            eta, **{k: v for k, v in theta.items() if k not in design}
+        )
