@@ -37,7 +37,7 @@ METRICS = [
     ("flagship_ar1", 900),
     ("supernodal_factorize_selinv", 540),
     ("spatial_poisson_nuts", 540),
-    ("bsr_spmv", 420),
+    ("spmv", 420),
 ]
 
 
@@ -213,15 +213,17 @@ def bench_flagship_ar1():
     )
 
 
-def bench_bsr_spmv():
-    """Pallas BSR spmv (the CG/RBMC hot multiply) vs the XLA COO segment-sum
-    matvec on a ~16k-node Matérn pattern, 8 RHS. Emits effective GB/s for the
-    Pallas path with vs_baseline = speedup over the COO path."""
+def bench_spmv():
+    """The CG/RBMC hot multiply (`kernels.hot_matvec` — dense block-tridiag
+    MXU einsums on banded-after-RCM patterns) vs the XLA COO segment-sum
+    matvec on a ~16k-node Matérn pattern, 8 RHS. Emits effective GB/s of
+    sparse payload (nnz values + x + y) with vs_baseline = speedup over the
+    COO path."""
     import jax
     import jax.numpy as jnp
 
     from tpu_gmrf import MaternModel
-    from tpu_gmrf.kernels import bsr_from_sparse, pallas_mode
+    from tpu_gmrf.kernels import hot_matvec
     from tpu_gmrf.solvers.base import SolverSpec
 
     gx, gy = np.meshgrid(np.linspace(0, 1, 100), np.linspace(0, 1, 100))
@@ -231,10 +233,12 @@ def bench_bsr_spmv():
     n, k = Q.shape[0], 8
     x = jnp.asarray(np.random.default_rng(0).normal(size=(n, k)), jnp.float32)
 
-    A = bsr_from_sparse(Q)
-
     coo = jax.jit(lambda v: Q.matvec(v))
-    pal = jax.jit(lambda v: A.matvec(v))
+    mv = hot_matvec(Q)
+    # pass the matvec pytree as an ARGUMENT: baked-in 50MB constants stall
+    # the compiler through the remote-compile tunnel
+    hot_f = jax.jit(lambda m, v: m(v))
+    hot = lambda v: hot_f(mv, v)
 
     def timeit(fn):
         y = fn(x)
@@ -247,14 +251,13 @@ def bench_bsr_spmv():
         return (time.time() - t0) / reps
 
     t_coo = timeit(coo)
-    t_pal = timeit(pal)
-    bs = A.plan.bs
-    bytes_streamed = A.plan.nblocks * bs * bs * 4 + 2 * n * k * 4
+    t_hot = timeit(hot)
+    payload = Q.nnz * 4 + 2 * n * k * 4
     _emit(
-        f"bsr_spmv_gbps_n{n}_k{k}_bs{bs}_mode_{pallas_mode()}",
-        bytes_streamed / t_pal / 1e9,
+        f"spmv_payload_gbps_n{n}_k{k}_hot",
+        payload / t_hot / 1e9,
         "GB/s",
-        vs_baseline=t_coo / t_pal,
+        vs_baseline=t_coo / t_hot,
     )
 
 
@@ -296,7 +299,7 @@ if __name__ == "__main__":
             "flagship_ar1": bench_flagship_ar1,
             "supernodal_factorize_selinv": bench_supernodal_factorize_selinv,
             "spatial_poisson_nuts": bench_spatial_poisson_nuts,
-            "bsr_spmv": bench_bsr_spmv,
+            "spmv": bench_spmv,
         }[sys.argv[2]]()
     else:
         main()

@@ -39,6 +39,10 @@ def main():
     rmse = float(jnp.sqrt(jnp.mean((post.mean - truth) ** 2)))
     print(f"AR1 posterior RMSE vs truth: {rmse:.3f}")
     print(f"posterior mean marginal std: {float(jnp.mean(post.std())):.3f}")
+    # correctness anchors: weekly observations at σ=0.1 recover the smooth
+    # truth well, and the posterior std must be far below the prior's
+    assert rmse < 0.12, rmse
+    assert float(jnp.mean(post.std())) < float(jnp.mean(prior.std())) / 2
 
     # a posterior sample
     s = post.sample(jax.random.PRNGKey(1))
@@ -52,8 +56,10 @@ def main():
     ys = np.cos(4 * pts[:, 0]) + 0.05 * rng.standard_normal(80)
     spost = linear_condition(x, jnp.asarray(ys), Q_eps=1.0 / 0.05**2, A=Aev)
     pred = np.asarray(Aev.matvec(spost.mean))
-    print(f"Matérn posterior fit RMSE at points: {np.sqrt(np.mean((pred - ys) ** 2)):.4f}")
+    fit_rmse = float(np.sqrt(np.mean((pred - ys) ** 2)))
+    print(f"Matérn posterior fit RMSE at points: {fit_rmse:.4f}")
     print(f"mean posterior std over mesh: {float(jnp.mean(spost.std())):.4f}")
+    assert fit_rmse < 0.1, fit_rmse
 
 
 if __name__ == "__main__":

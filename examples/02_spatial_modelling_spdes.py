@@ -44,7 +44,12 @@ def main():
     Anew = model.evaluation_matrix(newpts)
     pred = np.asarray(Anew.matvec(post.mean))
     err = pred - truth(newpts)
-    print(f"out-of-sample RMSE on 8x8 grid: {np.sqrt(np.mean(err**2)):.4f}")
+    oos = float(np.sqrt(np.mean(err**2)))
+    print(f"out-of-sample RMSE on 8x8 grid: {oos:.4f}")
+    # correctness anchors
+    assert float(np.sqrt(np.mean((fit - y) ** 2))) < 0.12
+    assert oos < 0.35, oos
+    assert std.min() > 0
 
 
 if __name__ == "__main__":

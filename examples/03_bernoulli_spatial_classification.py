@@ -46,6 +46,8 @@ def main():
     acc = np.mean((p_hat > 0.5) == (y > 0.5))
     print(f"training accuracy of the Laplace mode: {acc:.2%}")
     print(f"posterior mean std over the field: {float(jnp.mean(post.std())):.3f}")
+    # correctness anchor: the latent field must separate the classes well
+    assert acc > 0.7, acc
 
 
 if __name__ == "__main__":

@@ -42,7 +42,12 @@ def main():
     ar1 = AR1Model(400)
     g = ar1(tau=2.0, rho=0.7)
     v = float(g.var()[200])
-    print(f"AR1 interior marginal var: {v:.4f} (closed form {1/(2*(1-0.49)):.4f})")
+    closed = 1 / (2 * (1 - 0.49))
+    print(f"AR1 interior marginal var: {v:.4f} (closed form {closed:.4f})")
+    # correctness anchors
+    assert abs(v - closed) < 1e-2 * closed
+    assert float(np.sqrt(np.mean(err**2))) < 1.5  # forecast reverts to prior scale
+    assert band[-1] > band[150]  # forecast uncertainty grows
 
 
 if __name__ == "__main__":

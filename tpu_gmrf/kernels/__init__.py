@@ -1,24 +1,64 @@
-"""Pallas TPU kernels for the hot compute paths.
+"""Kernels for the hot compute paths.
 
-Each kernel has a pure-XLA reference implementation used (a) as the
-CPU/interpret fallback and (b) as the oracle in tests. Kernels are selected
-at trace time by backend: `pallas_enabled()` is True only on real TPU
-devices (set TPU_GMRF_FORCE_PALLAS=interpret to exercise the kernels in
-interpreter mode on CPU for testing).
+Each formulation has a pure-XLA reference implementation used (a) as the
+CPU/interpret fallback and (b) as the oracle in tests. Selection happens at
+trace time from host-side symbolic plans (pattern-cached), so jitted hot
+loops see exactly one formulation.
 """
 
 from .dispatch import pallas_enabled, pallas_mode
 from .bsr_spmv import BSRMatrix, best_block_size, bsr_from_sparse, bsr_spmv
 
+# Measured on the v5e chip (16k-node Matérn α=2 pattern, k=8 RHS,
+# /tmp/spmv_measure.py round 3): dense block-tridiag einsums stream at
+# ~400 GB/s; the blocked-gather BSR einsum manages ~11 GB/s effective; the
+# COO segment-sum ~5 GB/s. TPU has no hardware gather — regular dense
+# storage wins even at 30-100x value inflation.
+_DENSE_BYTES_PER_S = 400e9
+_GATHER_BYTES_PER_S = 11e9
+
 
 def hot_matvec(Q, min_nnz: int = 50_000):
-    """Best repeated-multiply path for a fixed sparse matrix: on TPU with
-    enough nonzeros, convert once to BSR and run the Pallas double-buffered
-    DMA kernel (bsr_spmv); otherwise the COO segment-sum matvec. Use at any
-    call site that multiplies by the SAME matrix many times (CG iterations,
-    RBMC sample batches)."""
-    if pallas_enabled() and Q.nnz >= min_nnz:
-        return bsr_from_sparse(Q).matvec
-    return Q.matvec
+    """Best repeated-multiply path for a fixed sparse matrix on the current
+    backend. Use at any call site that multiplies by the SAME matrix many
+    times (CG iterations, RBMC sample batches, power iterations).
 
-__all__ = ["pallas_enabled", "pallas_mode", "BSRMatrix", "best_block_size", "bsr_from_sparse", "bsr_spmv", "hot_matvec"]
+    Dispatch (trace-time, from cached symbolic plans):
+    - small nnz → plain COO segment-sum (`Q.matvec`);
+    - RCM-banded patterns where streaming the dense block-tridiagonal
+      storage beats the gather-bound alternatives → `block_tridiag_matvec`
+      (three batched MXU einsums per multiply);
+    - otherwise the BSR blocked einsum (dense (bs,bs) blocks, batched MXU
+      contractions + segment-sum over block rows).
+    """
+    if Q.nnz < min_nnz:
+        return Q.matvec
+    from ..solvers.banded import banded_plan, block_tridiag_matvec
+
+    bs = best_block_size(Q.pattern)
+    nb = -(-Q.shape[0] // bs)
+    import numpy as np
+
+    nblocks = len(
+        np.unique((Q.pattern.rows // bs).astype(np.int64) * nb + Q.pattern.cols // bs)
+    )
+    bsr_cost = 3.0 * nblocks * bs * bs * 4 / _GATHER_BYTES_PER_S
+    try:
+        plan = banded_plan(Q.pattern, None)
+        bt_cost = (2 * plan["K"] - 1) * plan["s"] ** 2 * 4 / _DENSE_BYTES_PER_S
+    except Exception:
+        plan, bt_cost = None, None
+    if plan is not None and bt_cost < bsr_cost:
+        return block_tridiag_matvec(Q)
+    return bsr_from_sparse(Q, bs=bs).matvec
+
+
+__all__ = [
+    "pallas_enabled",
+    "pallas_mode",
+    "BSRMatrix",
+    "best_block_size",
+    "bsr_from_sparse",
+    "bsr_spmv",
+    "hot_matvec",
+]

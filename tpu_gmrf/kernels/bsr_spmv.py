@@ -1,18 +1,22 @@
-"""BSR (block-sparse-row) matvec/matmat as a Pallas TPU kernel.
+"""BSR (block-sparse-row) matvec/matmat: blocked XLA einsum + a Pallas
+double-buffered DMA kernel for tile-aligned block sizes.
 
 The hot multiply for CG solves, quadratic forms (`sqmahal`), and linear
 predictors on large meshes (reference hot-loop rank #6, SURVEY §3.5;
 the reference leans on SparseArrays CSC matvec inside CHOLMOD-adjacent
 code paths). TPU-native design:
 
-- the pattern is blocked host-side into bs×bs dense blocks (bs a multiple
-  of the sublane tile), so every FLOP is a dense (bs,bs)@(bs,k) MXU
-  contraction — no scalar gathers on device;
-- block column indices and row pointers ride in scalar-prefetch SMEM
-  (`PrefetchScalarGridSpec`), so the kernel DMAs exactly the blocks of one
-  block-row while x stays resident in VMEM;
-- grid = one program per block-row; the per-row block loop is a
-  `fori_loop` with double-buffered async copies of block data from HBM.
+- the pattern is blocked host-side into bs×bs dense blocks, so every FLOP
+  is a dense (bs,bs)@(bs,k) MXU contraction — no scalar gathers on device;
+- the default execution path is the batched-einsum + segment-sum XLA
+  formulation (`_spmv_reference`);
+- the Pallas kernel (scalar-prefetch block metadata, per-block-row grid,
+  double-buffered HBM→VMEM copies) engages only when bs fills whole
+  (8, 128) f32 memref tiles — Mosaic rejects sub-tile HBM slices, so tiny
+  blocks cannot be DMA'd individually (verified on v5e). For the common
+  scattered GMRF patterns, `kernels.hot_matvec` instead dispatches to the
+  dense block-tridiagonal einsum formulation (`solvers/banded.py`), which
+  measures 20–50× faster than any gather-based path on TPU.
 
 A pure-XLA reference path (batched einsum + segment_sum) doubles as the
 CPU fallback and the adjoint implementation; `bsr_spmv` carries a
@@ -282,7 +286,15 @@ def _spmv_impl(blocks, x, plan: _BSRPlan):
     n_pad = plan.nb * plan.bs
     x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
     mode = pallas_mode()
-    if _HAVE_PALLAS and mode in ("tpu", "interpret") and plan.nblocks > 0:
+    # The per-block DMA kernel is only legal when a block fills whole
+    # (8, 128) memref tiles: Mosaic pads the trailing (bs, bs) dims of the
+    # HBM block array to the f32 tile, so slicing a single block with
+    # bs < 128 is rejected ("slice shape along dimension 2 must be aligned
+    # to tiling (128)") — verified on the v5e chip. Small-block patterns
+    # route to the XLA blocked-einsum path; `kernels.hot_matvec` supersedes
+    # both with the dense block-tridiagonal formulation where it applies.
+    kernel_ok = plan.bs % 128 == 0 or mode == "interpret"
+    if _HAVE_PALLAS and mode in ("tpu", "interpret") and plan.nblocks > 0 and kernel_ok:
         y = _spmv_pallas(blocks, x_pad, plan, interpret=(mode == "interpret"))
     else:
         y = _spmv_reference(blocks, x_pad, plan)

@@ -146,8 +146,10 @@ class CGFactor:
 
         if b.ndim > 1:
             return jax.vmap(self.solve, in_axes=1, out_axes=1)(b)
-        # CG multiplies by the SAME Q hundreds of times: on TPU this routes
-        # through the Pallas BSR spmv kernel (one blocking scatter up front)
+        # CG multiplies by the SAME Q hundreds of times: hot_matvec picks the
+        # fastest formulation for the pattern (dense block-tridiagonal MXU
+        # einsums on banded-after-RCM patterns — measured 10-12x over the
+        # COO segment-sum on TPU; blocked einsum otherwise)
         x, _, _ = cg_solve(
             hot_matvec(self.Q),
             b,
