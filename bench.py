@@ -138,8 +138,12 @@ def bench_spatial_poisson_nuts():
     init = jnp.tile(jnp.asarray([0.0, np.log(0.3)], jnp.float32), (n_chains, 1))
 
     def run(key):
+        # chunked dispatch: each supernodal-Newton leapfrog is expensive, so
+        # a full-run dispatch would execute for minutes on-device — the axon
+        # relay kills long dispatches (round-2/3 failure mode)
         return run_nuts(
-            ld, key, init, num_warmup=num_warmup, num_samples=num_samples, max_depth=6
+            ld, key, init, num_warmup=num_warmup, num_samples=num_samples,
+            max_depth=6, dispatch_chunk=5,
         )
 
     res = run(jax.random.PRNGKey(3))
@@ -194,8 +198,12 @@ def bench_flagship_ar1():
     init = jnp.zeros((n_chains, 2), jnp.float32)
 
     def run(key):
+        # dispatch_chunk keeps each device dispatch ~15 s: single-dispatch
+        # runs of this workload intermittently die with `UNAVAILABLE: TPU
+        # device error` through the axon relay (round-2/3 failure mode)
         return run_nuts(
-            ld, key, init, num_warmup=num_warmup, num_samples=num_samples, max_depth=8
+            ld, key, init, num_warmup=num_warmup, num_samples=num_samples,
+            max_depth=8, dispatch_chunk=25,
         )
 
     res = run(jax.random.PRNGKey(1))

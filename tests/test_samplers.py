@@ -236,3 +236,29 @@ def test_smc_sharded_particles_on_mesh():
     np.testing.assert_allclose(parts.mean(axis=0), np.zeros(dim), atol=0.15)
     np.testing.assert_allclose(parts.var(axis=0), 0.5 * np.ones(dim), rtol=0.3)
     assert np.isfinite(float(res.log_evidence))
+
+
+def test_chunked_dispatch_nuts_matches_target():
+    """dispatch_chunk mode (host-level chunked jit calls) samples the same
+    target correctly, including across warmup chunk boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_gmrf.samplers import run_nuts
+
+    def ld(x):
+        S = jnp.asarray([[1.0, 0.6], [0.6, 1.0]])
+        P = jnp.linalg.inv(S)
+        return -0.5 * x @ P @ x
+
+    init = jnp.zeros((8, 2))
+    res = run_nuts(
+        ld, jax.random.PRNGKey(0), init,
+        num_warmup=220, num_samples=300, dispatch_chunk=64,
+    )
+    s = np.asarray(res.samples).reshape(-1, 2)
+    assert np.all(np.abs(s.mean(0)) < 0.15)
+    C = np.cov(s.T)
+    assert abs(C[0, 0] - 1.0) < 0.3
+    assert abs(C[0, 1] - 0.6) < 0.25
+    assert float(np.asarray(res.accept_prob).mean()) > 0.6

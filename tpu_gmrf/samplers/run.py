@@ -116,6 +116,127 @@ def _single_chain(
     return positions, lds, step_size, inv_mass, infos
 
 
+def _run_chunked(
+    logdensity_fn,
+    kernel,
+    key,
+    init_positions,
+    num_warmup,
+    num_samples,
+    initial_step_size,
+    target_accept,
+    chunk,
+    progress_every=None,
+):
+    """Chunked-dispatch driver: identical math to `_single_chain`, but the
+    warmup and sampling scans are split into host-level chunks of at most
+    `chunk` transitions, each its own (cached-compile) jit call.
+
+    Why: a single dispatch covering hundreds of NUTS transitions can run for
+    minutes on-device; remote-attached TPUs (and long-running-program
+    watchdogs generally) can kill such dispatches, wedging the chip. Short
+    dispatches bound the blast radius and let a retry resume cheaply. The
+    per-dispatch launch overhead (~ms) is negligible against multi-second
+    chunks."""
+    init_positions = jnp.atleast_2d(jnp.asarray(init_positions))
+    num_chains, dim = init_positions.shape
+    dtype = init_positions.dtype
+    chain_keys = jax.random.split(key, num_chains)
+
+    is_slow, window_end = warmup_schedule(num_warmup)
+    is_slow = np.asarray(is_slow)
+    window_end = np.asarray(window_end)
+
+    @jax.jit
+    def init_chains(keys, positions):
+        def one(key, pos):
+            state = hmc_init(logdensity_fn, pos)
+            wkeys = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
+            skeys = jax.random.split(jax.random.fold_in(key, 1), num_samples)
+            return state, wkeys, skeys
+
+        return jax.vmap(one)(keys, positions)
+
+    state, wkeys, skeys = init_chains(chain_keys, init_positions)
+
+    def wchunk(carry, keys, slow, w_end):
+        def step(c, inp):
+            k, sl, we = inp
+            st, da, welford, inv_mass = c
+            eps = jnp.exp(da.log_step)
+            st, info = kernel(k, st, eps, inv_mass)
+            da = da_update(da, info.accept_prob, target=target_accept)
+            welford = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(sl, new, old),
+                welford_update(welford, st.position),
+                welford,
+            )
+            new_inv_mass = welford_variance(welford)
+            inv_mass = jnp.where(we, new_inv_mass, inv_mass)
+            fresh_da = da_init(jnp.exp(da.log_step))
+            da = jax.tree_util.tree_map(lambda f, o: jnp.where(we, f, o), fresh_da, da)
+            welford = jax.tree_util.tree_map(
+                lambda f, o: jnp.where(we, f, o), welford_init(dim, dtype), welford
+            )
+            return (st, da, welford, inv_mass), None
+
+        return jax.lax.scan(step, carry, (keys, slow, w_end))[0]
+
+    w_jit = jax.jit(jax.vmap(wchunk, in_axes=(0, 0, None, None)))
+    carry = (
+        state,
+        da_init(jnp.full((num_chains,), initial_step_size, dtype)),
+        jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(num_chains)),
+        jnp.ones((num_chains, dim), dtype),
+    )
+    for lo in range(0, num_warmup, chunk):
+        hi = min(lo + chunk, num_warmup)
+        carry = w_jit(
+            carry,
+            wkeys[:, lo:hi],
+            jnp.asarray(is_slow[lo:hi]),
+            jnp.asarray(window_end[lo:hi]),
+        )
+        if progress_every:
+            print(f"warmup {hi}/{num_warmup}", flush=True)
+    state, da, _, inv_mass = carry
+    step_size = jnp.exp(da.log_step_avg)
+
+    def schunk(state, keys, eps, im):
+        def step(st, k):
+            st, info = kernel(k, st, eps, im)
+            return st, (st.position, st.logdensity, info)
+
+        return jax.lax.scan(step, state, keys)
+
+    s_jit = jax.jit(jax.vmap(schunk))
+    pos_chunks, ld_chunks, info_chunks = [], [], []
+    for lo in range(0, num_samples, chunk):
+        hi = min(lo + chunk, num_samples)
+        state, (positions, lds, infos) = s_jit(
+            state, skeys[:, lo:hi], step_size, inv_mass
+        )
+        pos_chunks.append(positions)
+        ld_chunks.append(lds)
+        info_chunks.append(infos)
+        if progress_every:
+            print(f"sampling {hi}/{num_samples}", flush=True)
+    positions = jnp.concatenate(pos_chunks, axis=1)
+    lds = jnp.concatenate(ld_chunks, axis=1)
+    infos = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *info_chunks
+    )
+    return NUTSResult(
+        samples=positions,
+        logdensity=lds,
+        step_size=step_size,
+        inv_mass=inv_mass,
+        accept_prob=infos.accept_prob,
+        diverging=infos.diverging,
+        depth=infos.depth,
+    )
+
+
 def _run(
     logdensity_fn,
     kernel,
@@ -183,11 +304,30 @@ def run_nuts(
     target_accept: float = 0.8,
     mesh=None,
     progress_every: int | None = None,
+    dispatch_chunk: int | None = None,
 ) -> NUTSResult:
     """Multi-chain NUTS. `init_positions`: (chains, dim) or (dim,).
     Pass `mesh` (jax.sharding.Mesh over one axis) to shard chains over
-    devices; `progress_every=k` prints a progress line every k draws."""
+    devices; `progress_every=k` prints a progress line every k draws.
+    `dispatch_chunk=k` splits warmup/sampling into host-level jit calls of
+    at most k transitions each — use when a single dispatch would run for
+    minutes on-device (remote-attached TPUs kill long dispatches)."""
     kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
+    if dispatch_chunk is not None:
+        if mesh is not None:
+            raise ValueError("dispatch_chunk and mesh are mutually exclusive")
+        return _run_chunked(
+            logdensity_fn,
+            kernel,
+            key,
+            init_positions,
+            num_warmup,
+            num_samples,
+            initial_step_size,
+            target_accept,
+            dispatch_chunk,
+            progress_every=progress_every,
+        )
     return _run(
         logdensity_fn,
         kernel,
