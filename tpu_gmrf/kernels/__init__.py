@@ -43,12 +43,30 @@ def hot_matvec(Q, min_nnz: int = 50_000):
         np.unique((Q.pattern.rows // bs).astype(np.int64) * nb + Q.pattern.cols // bs)
     )
     bsr_cost = 3.0 * nblocks * bs * bs * 4 / _GATHER_BYTES_PER_S
-    try:
-        plan = banded_plan(Q.pattern, None)
-        bt_cost = (2 * plan["K"] - 1) * plan["s"] ** 2 * 4 / _DENSE_BYTES_PER_S
-    except Exception:
-        plan, bt_cost = None, None
-    if plan is not None and bt_cost < bsr_cost:
+    # block-tridiag storage keeps only the lower triangle and mirrors it, so
+    # it computes the *symmetrized* product: require a symmetric pattern AND
+    # (host-checkable) symmetric values; tracers fall back to the exact BSR.
+    symmetric_vals = False
+    if Q.pattern.is_symmetric:
+        try:
+            v = np.asarray(Q.data)
+            symmetric_vals = bool(
+                np.allclose(v, v[Q.pattern.transpose_perm], rtol=1e-6, atol=0.0)
+            )
+        except Exception:  # tracer / non-concrete data
+            symmetric_vals = False
+    bt_cost = None
+    if symmetric_vals:
+        try:
+            plan = banded_plan(Q.pattern, None)
+            dense_bytes = (2 * plan["K"] - 1) * plan["s"] ** 2 * 4
+            # memory ceiling: dense storage can inflate nnz 100x+ on wide-band
+            # patterns; cap both absolute footprint and the inflation ratio
+            if dense_bytes <= 2e9 and dense_bytes <= 200 * (Q.nnz * 4):
+                bt_cost = dense_bytes / _DENSE_BYTES_PER_S
+        except Exception:
+            bt_cost = None
+    if bt_cost is not None and bt_cost < bsr_cost:
         return block_tridiag_matvec(Q)
     return bsr_from_sparse(Q, bs=bs).matvec
 

@@ -276,7 +276,6 @@ class BandedFactor:
         return self._from_blocks(lower + shifted, z.ndim)
 
 
-@mxu_f32
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockTridiagMV:
@@ -320,9 +319,19 @@ def block_tridiag_matvec(Q: SparseMatrix, block: int | None = None) -> BlockTrid
     and blocked-gather einsum formulations by 12–50× on mesh patterns
     (measured on v5e: 16k-node Matérn α=2, k=8 — COO 7.6 ms, BSR-einsum
     3.7 ms, this 0.6 ms). Used by `kernels.hot_matvec` for CG/RBMC hot
-    loops (reference hot-loop rank #6, SURVEY §3.5)."""
-    if Q.pattern.is_symmetric:
-        Q = Q.symmetrize()
+    loops (reference hot-loop rank #6, SURVEY §3.5).
+
+    Only valid for symmetric matrices: the storage keeps the lower triangle
+    and mirrors it, so an asymmetric input would silently yield the
+    symmetrized product. Raises on asymmetric patterns; values are averaged
+    with their transpose (exact when values are symmetric)."""
+    if not Q.pattern.is_symmetric:
+        raise ValueError(
+            "block_tridiag_matvec requires a symmetric sparsity pattern "
+            "(lower-triangle storage is mirrored); use the BSR/COO paths "
+            "for general matrices"
+        )
+    Q = Q.symmetrize()
     plan = banded_plan(Q.pattern, block)
     s, K, n = plan["s"], plan["K"], plan["n"]
     dtype = Q.data.dtype
