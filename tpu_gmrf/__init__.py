@@ -18,6 +18,7 @@ from .sparse import (
     spdiag,
     speye,
 )
+from .hoist import hoist_jit
 from .solvers import SolverSpec, factorize
 from .gmrf import GMRF, logpdf, sample
 from .constrained import ConstrainedGMRF

@@ -6,30 +6,49 @@ src/workspace/backend.jl:24-182, src/solvers/selinv.jl:70-138), designed
 for XLA rather than translated:
 
 * **Host symbolic, once per pattern** (native C++ core, `tpu_gmrf.native`):
-  AMD fill-reducing ordering → elimination tree → postorder → column counts
-  → L fill pattern → fundamental supernode partition. The result is a frozen
-  plan of static index maps (gather/scatter tables), cached per pattern.
+  AMD/ND fill-reducing ordering → elimination tree → postorder → column
+  counts → L fill pattern → fundamental supernode partition → relaxed
+  amalgamation. The result is a frozen plan of static index maps, cached
+  per pattern.
 
 * **Device numeric, per value vector**: a right-looking factorization over
-  the supernode DAG, *level-scheduled* — supernodes at the same elimination-
-  tree depth are independent, so each level is ONE batch of padded dense
-  MXU ops (Cholesky of diagonal blocks, triangular panel solves, Schur
-  rank-k updates) glued by fixed-shape gather/scatter into a flat CSC value
-  array. Irregular supernode sizes are bucketed into pow-2 size classes so
-  XLA compiles a handful of kernels per level.
+  the supernode DAG, *level-scheduled*. The schedule is split in two:
+
+  - the **scan segment** (levels 0..ℓ*): supernodes are bucketed into
+    (W, M) size classes; each class's panels are stored flat, ordered by
+    level, and one `lax.scan` over levels drives every class with
+    `dynamic_slice` + masking. The traced program is O(#classes), not
+    O(#levels × #classes) — at 16k nodes this cuts the XLA op count ~10×,
+    which is what lets the program compile on the TPU at all.
+  - the **top segment** (levels ℓ*..end, ≤ ~48 supernodes): the big
+    nested-dissection separators, unrolled exactly per level with no
+    padding waste.
+
+* **Scatter discipline (the TPU rule)**: XLA:TPU lowers scatters with
+  potentially-duplicate indices via sort loops — measured 30 ms per
+  100k-element scatter-add vs ~0 for `unique_indices=True`. Every panel
+  and column write here is unique by construction and annotated as such.
+  The two genuinely duplicated reductions (Schur updates and
+  forward-solve row updates, where sibling supernodes hit shared ancestor
+  entries) are reformulated as **gather + dense row-sum + unique
+  scatter**: host-built ELL tables group contributions by target entry,
+  with a narrow tier-1 (width = p95 multiplicity) and an exact tier-2 for
+  the heavy tail.
 
 * **Selected inversion** runs the same schedule backwards: the block
   Takahashi recursion Σ_RJ = −Σ_RR·C, Σ_JJ = L_D⁻ᵀL_D⁻¹ + CᵀΣ_RR·C with
-  C = L_B L_D⁻¹, reusing the factorization's Schur gather tables (rows R of
-  a supernode form a clique in the filled graph, so every (R_p, R_q) entry
-  exists in L's pattern).
+  C = L_B L_D⁻¹ — all panel *sets* (unique) and gathers, no scatter-adds.
 
-f32 robustness: Jacobi equilibration Q' = S·Q·S exactly as the dense
-backend; logdet/solves/selinv are corrected analytically. On TPU every
-matmul in the factorization/solve/Takahashi schedule runs at
-`default_matmul_precision("highest")` — the MXU's default bf16 passes lose
-~16 mantissa bits, which breaks Cholesky on the ill-conditioned Matérn
-precisions this backend exists for (observed: NaN logdet at n≈16k, α=2).
+f32 robustness: Jacobi equilibration Q' = S·Q·S; logdet/solves/selinv are
+corrected analytically. Diagonal-block Cholesky breakdown at extreme
+conditioning (scaled cond ≳ 1e8) is handled by escalating pivot boost
+(`_chol_boosted`, CHOLMOD `dbound` / Pardiso perturbation role) and
+`solve_refined` iterative refinement. On TPU every matmul runs at
+`default_matmul_precision("highest")` via `mxu_f32`.
+
+NOTE for callers on the TPU path: wrap jitted entry points with
+`tpu_gmrf.hoist_jit` so the plan's index tables ride as runtime arguments
+instead of HLO literals (see hoist.py).
 """
 
 from __future__ import annotations
@@ -51,6 +70,8 @@ __all__ = ["SupernodalFactor", "supernodal_factorize", "supernodal_plan"]
 _PLAN_CACHE: dict = {}
 
 _SELINV_CACHE: dict = {}
+
+_TOP_MAX = 48  # supernode budget for the exactly-unrolled top segment
 
 
 def _pow2_pad(x: int, floor: int = 8) -> int:
@@ -254,6 +275,116 @@ def supernodal_symbolic_summary(
     )
 
 
+def _build_ell(tgts, srcs, dummy_tgt, zero_src):
+    """Group (target, source) contribution pairs by target into a two-tier
+    ELL layout: tier-1 rows of width K1 (≈ p95 multiplicity) for almost all
+    targets, tier-2 exact-width rows for the heavy tail. All rows have
+    unique targets, so the downstream scatter-adds carry
+    `unique_indices=True` — the fast TPU lowering."""
+    if len(tgts) == 0:
+        return dict(
+            t1=np.zeros(0, np.int32), s1=np.zeros((0, 1), np.int32),
+            t2=np.zeros(0, np.int32), s2=np.zeros((0, 1), np.int32),
+        )
+    order = np.argsort(tgts, kind="stable")
+    tgts = tgts[order]
+    srcs = srcs[order]
+    uniq, start, cnt = np.unique(tgts, return_index=True, return_counts=True)
+    kmax = int(cnt.max())
+    k1 = int(min(kmax, max(1, int(np.percentile(cnt, 95)))))
+    heavy = cnt > k1
+    # tier 1: first k1 contributions of every target
+    T1 = len(uniq)
+    s1 = np.full((T1, k1), zero_src, np.int32)
+    for k in range(k1):
+        sel = cnt > k
+        s1[sel, k] = srcs[start[sel] + k]
+    # tier 2: the remaining contributions of heavy targets
+    if np.any(heavy):
+        k2 = kmax - k1
+        hidx = np.nonzero(heavy)[0]
+        T2 = len(hidx)
+        s2 = np.full((T2, k2), zero_src, np.int32)
+        for j, h in enumerate(hidx):
+            extra = srcs[start[h] + k1 : start[h] + cnt[h]]
+            s2[j, : len(extra)] = extra
+        t2 = uniq[hidx].astype(np.int32)
+    else:
+        t2 = np.zeros(0, np.int32)
+        s2 = np.zeros((0, 1), np.int32)
+    return dict(t1=uniq.astype(np.int32), s1=s1, t2=t2, s2=s2)
+
+
+def _pad_ell_levels(ells, dummy_tgt, zero_src):
+    """Stack per-level ELL dicts into scan xs arrays padded to the max
+    (T, K) over levels."""
+    nlev = len(ells)
+    if nlev == 0:
+        return None
+    T1 = max(e["t1"].shape[0] for e in ells)
+    K1 = max(e["s1"].shape[1] for e in ells)
+    T2 = max(e["t2"].shape[0] for e in ells)
+    K2 = max(e["s2"].shape[1] for e in ells)
+    if T1 == 0 and T2 == 0:
+        return None
+    t1 = np.full((nlev, max(T1, 1)), dummy_tgt, np.int32)
+    s1 = np.full((nlev, max(T1, 1), max(K1, 1)), zero_src, np.int32)
+    t2 = np.full((nlev, max(T2, 1)), dummy_tgt, np.int32)
+    s2 = np.full((nlev, max(T2, 1), max(K2, 1)), zero_src, np.int32)
+    for i, e in enumerate(ells):
+        a, b = e["t1"].shape[0], e["s1"].shape[1]
+        t1[i, :a] = e["t1"]
+        s1[i, :a, :b] = e["s1"]
+        a, b = e["t2"].shape[0], e["s2"].shape[1]
+        t2[i, :a] = e["t2"]
+        s2[i, :a, :b] = e["s2"]
+    return dict(
+        t1=t1, s1=s1, t2=t2, s2=s2, has2=T2 > 0
+    )
+
+
+def _supernode_tables(group, lp, n, entry_key, W, M):
+    """Exact per-supernode index tables for a list of (j0, ns, rows):
+    panel_idx (B, W+M, W), schur_idx (B, M, M) gather table for Takahashi,
+    cols_idx (B, W), rows_idx (B, M), col_mask (B, W)."""
+    nnzL = len(entry_key)
+    DUMMY = nnzL
+    NDUMMY = n
+    Bn = len(group)
+    panel_idx = np.full((Bn, W + M, W), DUMMY, dtype=np.int32)
+    schur_idx = np.full((Bn, M, M), DUMMY, dtype=np.int32)
+    cols_idx = np.full((Bn, W), NDUMMY, dtype=np.int32)
+    rows_idx = np.full((Bn, M), NDUMMY, dtype=np.int32)
+    col_mask = np.zeros((Bn, W), dtype=bool)
+    for b, (j0, ns, rows) in enumerate(group):
+        m = len(rows)
+        cols_idx[b, :ns] = np.arange(j0, j0 + ns)
+        col_mask[b, :ns] = True
+        rows_idx[b, :m] = rows
+        base = lp[j0 : j0 + ns]
+        rr, cc = np.tril_indices(ns)
+        panel_idx[b, rr, cc] = base[cc] + (rr - cc)
+        if m:
+            c_arr = np.arange(ns, dtype=np.int64)
+            panel_idx[b, W : W + m, :ns] = (
+                base[None, :]
+                + (ns - c_arr)[None, :]
+                + np.arange(m)[:, None]
+            )
+            pp, qq = np.tril_indices(m)
+            keys = rows[qq].astype(np.int64) * n + rows[pp]
+            schur_idx[b, pp, qq] = np.searchsorted(entry_key, keys)
+    return dict(
+        W=W,
+        M=M,
+        panel_idx=panel_idx,
+        schur_idx=schur_idx,
+        cols_idx=cols_idx,
+        rows_idx=rows_idx,
+        col_mask=col_mask,
+    )
+
+
 def supernodal_plan(
     pattern: SparsePattern, max_width: int = 2048, ordering: str = "auto"
 ):
@@ -261,9 +392,11 @@ def supernodal_plan(
 
     The plan targets the *amalgamated* fill pattern: each merged supernode
     stores a dense (w×w lower + m×w) panel in flat CSC order, including the
-    explicit zeros amalgamation introduced. All index tables are built
-    vectorized per supernode so the host cost is O(nnzL + Σ m²) — a one-off
-    of a few seconds even at 10⁶ columns.
+    explicit zeros amalgamation introduced. Produces the two-segment
+    schedule described in the module docstring: scan classes (flat tables +
+    per-level offset/count) for levels < ℓ*, exact unrolled buckets for the
+    ≤48-supernode top, and per-level ELL reduction tables for the Schur and
+    forward-solve updates.
     """
     key = (pattern, max_width, ordering)
     plan = _PLAN_CACHE.get(key)
@@ -329,61 +462,166 @@ def supernodal_plan(
         np.int32
     )
 
-    # bucket supernodes by (level, ns_pad, m_pad)
-    buckets: dict = {}
-    for s in range(nsuper):
-        j0 = int(sn_start[s])
-        ns = int(sn_start[s + 1]) - j0
-        rows = sn_rows[s]  # R_s (strictly below the snode)
-        m = len(rows)
-        bk = (int(levels[s]), _pow2_pad(ns, 4), _pow2_pad(m, 8))
-        buckets.setdefault(bk, []).append((j0, ns, rows))
-
-    # build padded index tables per bucket
-    level_buckets: list = [[] for _ in range(nlevels)]
-
     DUMMY = nnzL  # one dummy slot appended to vals
     NDUMMY = n  # dummy slot for length-(n+1) vectors
 
-    for (lev, W, M), group in sorted(buckets.items()):
-        Bn = len(group)
-        panel_idx = np.full((Bn, W + M, W), DUMMY, dtype=np.int32)
-        schur_idx = np.full((Bn, M, M), DUMMY, dtype=np.int32)
-        cols_idx = np.full((Bn, W), NDUMMY, dtype=np.int32)
-        rows_idx = np.full((Bn, M), NDUMMY, dtype=np.int32)
-        col_mask = np.zeros((Bn, W), dtype=bool)
-        for b, (j0, ns, rows) in enumerate(group):
-            m = len(rows)
-            cols_idx[b, :ns] = np.arange(j0, j0 + ns)
-            col_mask[b, :ns] = True
-            rows_idx[b, :m] = rows
-            base = lp[j0 : j0 + ns]
-            rr, cc = np.tril_indices(ns)
-            # diagonal block: rows j0+c .. j0+ns-1 are the first entries
-            panel_idx[b, rr, cc] = base[cc] + (rr - cc)
-            if m:
-                # off-diagonal rows R_s follow contiguously per column
-                c_arr = np.arange(ns, dtype=np.int64)
-                panel_idx[b, W : W + m, :ns] = (
-                    base[None, :]
-                    + (ns - c_arr)[None, :]
-                    + np.arange(m)[:, None]
-                )
-                # all lower pairs (p >= q) at once via the global entry key
-                pp, qq = np.tril_indices(m)
-                keys = rows[qq].astype(np.int64) * n + rows[pp]
-                schur_idx[b, pp, qq] = np.searchsorted(entry_key, keys)
-        level_buckets[lev].append(
+    ns_all = (sn_start[1:] - sn_start[:-1]).astype(np.int64)
+
+    # ---- schedule split: scan levels [0, lstar), unrolled top [lstar, end)
+    lev_counts = np.bincount(levels, minlength=max(nlevels, 1))
+    suffix = np.cumsum(lev_counts[::-1])[::-1]
+    cand = np.nonzero(suffix <= _TOP_MAX)[0]
+    lstar = int(cand[0]) if len(cand) else nlevels
+    if nsuper <= _TOP_MAX:
+        lstar = 0
+
+    # ---- scan classes: flat level-ordered tables per (W, M) class
+    cls_members: dict = {}
+    for s in range(nsuper):
+        if levels[s] >= lstar:
+            continue
+        ck = (_pow2_pad(int(ns_all[s]), 4), _pow2_pad(len(sn_rows[s]), 8))
+        cls_members.setdefault(ck, []).append(s)
+
+    classes = []
+    # per-supernode (local batch slot, class index) for ELL source layout
+    u_base = {}
+    sn_slot = np.zeros(nsuper, np.int64)
+    sn_cls = np.full(nsuper, -1, np.int64)
+    for ci, ((W, M), members) in enumerate(sorted(cls_members.items())):
+        members = sorted(members, key=lambda s: (levels[s], sn_start[s]))
+        lv = levels[np.asarray(members, np.int64)]
+        cnt = np.bincount(lv, minlength=lstar)[:lstar].astype(np.int32)
+        off = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int32)
+        P = int(cnt.max()) if len(cnt) else 0
+        group = [
+            (int(sn_start[s]), int(ns_all[s]), sn_rows[s]) for s in members
+        ]
+        tb = _supernode_tables(group, lp, n, entry_key, W, M)
+        # pad the flat tables by P dummy rows so any dynamic_slice is valid
+        def padrow(a, fill):
+            pad = np.full((P,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, pad], axis=0)
+
+        classes.append(
             dict(
                 W=W,
                 M=M,
-                panel_idx=panel_idx,
-                schur_idx=schur_idx,
-                cols_idx=cols_idx,
-                rows_idx=rows_idx,
-                col_mask=col_mask,
+                P=P,
+                off=off,
+                cnt=cnt,
+                dummy=DUMMY,
+                ndummy=NDUMMY,
+                panel_idx=padrow(tb["panel_idx"], DUMMY),
+                schur_idx=padrow(tb["schur_idx"], DUMMY),
+                cols_idx=padrow(tb["cols_idx"], NDUMMY),
+                rows_idx=padrow(tb["rows_idx"], NDUMMY),
+                col_mask=padrow(tb["col_mask"], False),
             )
         )
+        for s, mem in enumerate(members):
+            sn_slot[mem] = s - off[levels[mem]]
+            sn_cls[mem] = ci
+
+    # u_flat layout per scan level: concat over classes of U_c (P, M, M),
+    # then one zero slot; u_fwd likewise with (P, M)
+    ubase = np.zeros(len(classes) + 1, np.int64)
+    fbase = np.zeros(len(classes) + 1, np.int64)
+    for ci, c in enumerate(classes):
+        ubase[ci + 1] = ubase[ci] + c["P"] * c["M"] * c["M"]
+        fbase[ci + 1] = fbase[ci] + c["P"] * c["M"]
+    ZU = int(ubase[-1])
+    ZF = int(fbase[-1])
+
+    # ---- top segment: exact per-level buckets
+    top_buckets: list = [[] for _ in range(nlevels - lstar)]
+    top_u_off: list = [[] for _ in range(nlevels - lstar)]  # per bucket ravel offset
+    for lev in range(lstar, nlevels):
+        buckets: dict = {}
+        for s in np.nonzero(levels == lev)[0]:
+            ck = (_pow2_pad(int(ns_all[s]), 4), _pow2_pad(len(sn_rows[s]), 8))
+            buckets.setdefault(ck, []).append(s)
+        uoff = 0
+        for (W, M), members in sorted(buckets.items()):
+            members = sorted(members, key=lambda s: sn_start[s])
+            group = [
+                (int(sn_start[s]), int(ns_all[s]), sn_rows[s]) for s in members
+            ]
+            tb = _supernode_tables(group, lp, n, entry_key, W, M)
+            top_buckets[lev - lstar].append(tb)
+            top_u_off[lev - lstar].append(uoff)
+            for b, s in enumerate(members):
+                sn_slot[s] = b
+                sn_cls[s] = -(len(top_buckets[lev - lstar]))  # bucket idx enc
+            uoff += len(members) * W * M * 0  # placeholder, not used
+        # record per-supernode (bucket, slot) for ELL src below via sn_cls/sn_slot
+
+    # ---- ELL reduction tables (Schur + forward row updates), per level.
+    # Scan levels index into the padded per-level u_flat; top levels index
+    # into that level's exact concat of bucket Us.
+    def level_schur_fwd(lev):
+        tg, sr, ftg, fsr = [], [], [], []
+        if lev < lstar:
+            get_base = lambda ci: (int(ubase[ci]), int(fbase[ci]))
+            zslot, fzslot = ZU, ZF
+        else:
+            # exact layout: concat over this level's buckets of U (B, M, M)
+            tb_list = top_buckets[lev - lstar]
+            cum_u = np.concatenate(
+                [[0], np.cumsum([t["schur_idx"].shape[0] * t["M"] ** 2 for t in tb_list])]
+            )
+            cum_f = np.concatenate(
+                [[0], np.cumsum([t["rows_idx"].shape[0] * t["M"] for t in tb_list])]
+            )
+            zslot, fzslot = int(cum_u[-1]), int(cum_f[-1])
+        for s in np.nonzero(levels == lev)[0]:
+            rows = sn_rows[s]
+            m = len(rows)
+            if m == 0:
+                continue
+            slot = int(sn_slot[s])
+            if lev < lstar:
+                ci = int(sn_cls[s])
+                M = classes[ci]["M"]
+                ub, fb = int(ubase[ci]), int(fbase[ci])
+            else:
+                bi = -int(sn_cls[s]) - 1
+                tb_list = top_buckets[lev - lstar]
+                M = tb_list[bi]["M"]
+                cum_u = np.concatenate(
+                    [[0], np.cumsum([t["schur_idx"].shape[0] * t["M"] ** 2 for t in tb_list])]
+                )
+                cum_f = np.concatenate(
+                    [[0], np.cumsum([t["rows_idx"].shape[0] * t["M"] for t in tb_list])]
+                )
+                ub, fb = int(cum_u[bi]), int(cum_f[bi])
+            pp, qq = np.tril_indices(m)
+            keys = rows[qq].astype(np.int64) * n + rows[pp]
+            tg.append(np.searchsorted(entry_key, keys).astype(np.int32))
+            sr.append((ub + (slot * M + pp) * M + qq).astype(np.int32))
+            ftg.append(rows.astype(np.int32))
+            fsr.append((fb + slot * M + np.arange(m)).astype(np.int32))
+        cat = lambda xs: (
+            np.concatenate(xs) if xs else np.zeros(0, np.int32)
+        )
+        return (
+            _build_ell(cat(tg), cat(sr), DUMMY, zslot),
+            _build_ell(cat(ftg), cat(fsr), NDUMMY, fzslot),
+        )
+
+    scan_schur_ells, scan_fwd_ells = [], []
+    for lev in range(lstar):
+        se, fe = level_schur_fwd(lev)
+        scan_schur_ells.append(se)
+        scan_fwd_ells.append(fe)
+    top_schur_ells, top_fwd_ells = [], []
+    for lev in range(lstar, nlevels):
+        se, fe = level_schur_fwd(lev)
+        top_schur_ells.append(se)
+        top_fwd_ells.append(fe)
+
+    scan_schur = _pad_ell_levels(scan_schur_ells, DUMMY, ZU)
+    scan_fwd = _pad_ell_levels(scan_fwd_ells, NDUMMY, ZF)
 
     # the diagonal entry is emitted first in every column of L
     diag_pos = lp[:-1].astype(np.int32)
@@ -399,10 +637,18 @@ def supernodal_plan(
         a_dst=a_dst,
         entry_key=entry_key,
         diag_pos=diag_pos,
-        level_buckets=level_buckets,
         nlevels=nlevels,
         nsuper=nsuper,
         flops=core["flops"],
+        lstar=lstar,
+        classes=classes,
+        ZU=ZU,
+        ZF=ZF,
+        scan_schur=scan_schur,
+        scan_fwd=scan_fwd,
+        top_buckets=top_buckets,
+        top_schur_ells=top_schur_ells,
+        top_fwd_ells=top_fwd_ells,
     )
     _PLAN_CACHE[key] = plan
     return plan
@@ -410,6 +656,135 @@ def supernodal_plan(
 
 def _tril_mask(W, dtype):
     return jnp.tril(jnp.ones((W, W), dtype=dtype))
+
+
+def _chol_boosted(Dfull):
+    """Batched Cholesky with escalating pivot boost on breakdown.
+
+    f32 cannot factorize blocks whose (equilibrated) condition exceeds
+    ~1/eps_f32 — the trailing Schur complement accumulates rounding until a
+    pivot goes negative and NaN floods the panel (observed on Matérn α=2
+    precisions with scaled cond ≈ 2e8). Like CHOLMOD's `dbound` and
+    Pardiso's pivot perturbation, failed blocks are refactorized as
+    D + δI (δ = W·2e-6, then 500× that), which bounds the perturbation to
+    the noise floor of the f32 Schur accumulation itself. The common case
+    (no breakdown anywhere in the batch) pays one extra all-finite check,
+    gated by `lax.cond`.
+
+    Returns (L, n_boosted_blocks).
+    """
+    dt = Dfull.dtype
+    W = Dfull.shape[-1]
+    # a pivot can also land on a finite-but-denormal value: the division in
+    # the panel solve then floods Lb with ~inf and NaN-poisons every
+    # descendant Schur update while this block's diagonal still looks
+    # "finite" — treat tiny pivots as breakdown too
+    tiny = 30.0 * jnp.finfo(dt).eps
+
+    def _ok(L):
+        dg = jnp.diagonal(L, axis1=-2, axis2=-1)
+        return jnp.all(jnp.isfinite(dg) & (dg > tiny), axis=-1)
+
+    L0 = jnp.linalg.cholesky(Dfull)
+    ok0 = _ok(L0)
+
+    def _boost(_):
+        eye = jnp.eye(W, dtype=dt)
+        delta = jnp.asarray(2e-6 * W, dt)
+        L1 = jnp.linalg.cholesky(Dfull + delta * eye)
+        ok1 = _ok(L1)
+        # final attempt is *guaranteed* PD: add each block's max absolute
+        # row sum (Gershgorin), which covers even O(1) forward-error
+        # indefiniteness from near-singular upstream pivots at cond ≳ 1/eps
+        dom = jnp.max(jnp.sum(jnp.abs(Dfull), axis=-1), axis=-1)
+        L2 = jnp.linalg.cholesky(
+            Dfull + (dom[:, None, None] + delta) * eye
+        )
+        sel1 = jnp.where(ok0[:, None, None], L0, L1)
+        L = jnp.where((ok0 | ok1)[:, None, None], sel1, L2)
+        return L, jnp.sum(~ok0).astype(jnp.int32)
+
+    return jax.lax.cond(
+        jnp.all(ok0),
+        lambda _: (L0, jnp.zeros((), jnp.int32)),
+        _boost,
+        operand=None,
+    )
+
+
+def _slice_class(c, lev):
+    """Dynamic-slice one level's batch out of a scan class's flat tables,
+    masking rows beyond this level's count to the dummy slots."""
+    P = c["P"]
+    off = jnp.asarray(c["off"])[lev]
+    cnt = jnp.asarray(c["cnt"])[lev]
+    keep = jnp.arange(P) < cnt
+    DUMMY = np.int32(c["dummy"])  # nnzL
+    NDUMMY = np.int32(c["ndummy"])  # n
+    sl = lambda name: jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(c[name]), off, P, axis=0
+    )
+    panel = jnp.where(keep[:, None, None], sl("panel_idx"), DUMMY)
+    cmask = sl("col_mask") & keep[:, None]
+    cols = jnp.where(keep[:, None], sl("cols_idx"), NDUMMY)
+    rows = jnp.where(keep[:, None], sl("rows_idx"), NDUMMY)
+    schur = jnp.where(keep[:, None, None], sl("schur_idx"), DUMMY)
+    return panel, cmask, cols, rows, schur
+
+
+def _ell_apply(arr, ell, lev, u_flat, sign):
+    """Apply one level's ELL reduction: gather contributions from u_flat,
+    dense row-sum, unique scatter-add into arr."""
+    if ell is None:
+        return arr
+    t1 = jnp.asarray(ell["t1"])[lev]
+    s1 = jnp.asarray(ell["s1"])[lev]
+    arr = arr.at[t1].add(
+        sign * jnp.sum(u_flat[s1], axis=-1),
+        unique_indices=True,
+        mode="promise_in_bounds",
+    )
+    if ell["has2"]:
+        t2 = jnp.asarray(ell["t2"])[lev]
+        s2 = jnp.asarray(ell["s2"])[lev]
+        arr = arr.at[t2].add(
+            sign * jnp.sum(u_flat[s2], axis=-1),
+            unique_indices=True,
+            mode="promise_in_bounds",
+        )
+    return arr
+
+
+def _ell_apply_exact(arr, ell, u_flat, sign):
+    """Same as _ell_apply for a top (unrolled) level's exact tables."""
+    if ell["t1"].shape[0]:
+        arr = arr.at[jnp.asarray(ell["t1"])].add(
+            sign * jnp.sum(u_flat[jnp.asarray(ell["s1"])], axis=-1),
+            unique_indices=True,
+            mode="promise_in_bounds",
+        )
+    if ell["t2"].shape[0]:
+        arr = arr.at[jnp.asarray(ell["t2"])].add(
+            sign * jnp.sum(u_flat[jnp.asarray(ell["s2"])], axis=-1),
+            unique_indices=True,
+            mode="promise_in_bounds",
+        )
+    return arr
+
+
+def _mask_bucket(bk):
+    """Top buckets are exact: no masking needed, just jnp views."""
+    return (
+        jnp.asarray(bk["panel_idx"]),
+        jnp.asarray(bk["col_mask"]),
+        jnp.asarray(bk["cols_idx"]),
+        jnp.asarray(bk["rows_idx"]),
+        jnp.asarray(bk["schur_idx"]),
+    )
+
+
+def _set_unique(arr, idx, val):
+    return arr.at[idx].set(val, unique_indices=True, mode="promise_in_bounds")
 
 
 @jax.tree_util.register_dataclass
@@ -421,6 +796,12 @@ class SupernodalFactor:
     vals: Any  # (nnzL + 1,)
     s: Any  # (n,) equilibration
     meta: Any = dataclasses.field(metadata=dict(static=True))
+    # diagnostic: number of supernode diagonal blocks whose Cholesky broke
+    # down in f32 and was retried with a boosted (perturbed) pivot — the
+    # factor then represents Q + E with ‖E‖ ~ W·2e-6 on those blocks only
+    # (CHOLMOD `dbound` / Pardiso pivot-perturbation role). 0 in the
+    # well-conditioned common case.
+    boost: Any = 0
 
     @property
     def plan(self):
@@ -444,12 +825,12 @@ class SupernodalFactor:
         )
         return self.s * x if scale else x
 
-    def _gather_panels(self, vals, bk):
-        """Returns (Ld (B,W,W) lower w/ unit padded diag, Lb (B,M,W))."""
-        panel = vals[bk["panel_idx"]]
-        W = bk["W"]
+    @staticmethod
+    def _panels(vals, panel_idx, col_mask, W):
+        """(Ld (B,W,W) lower w/ unit padded diag, Lb (B,M,W))."""
+        panel = vals[panel_idx]
         D = panel[:, :W, :]
-        pad = (~bk["col_mask"]).astype(D.dtype)
+        pad = (~col_mask).astype(D.dtype)
         Ld = D + jax.vmap(jnp.diag)(pad)
         Lb = panel[:, W:, :]
         return Ld, Lb
@@ -469,40 +850,70 @@ class SupernodalFactor:
         vals = (
             jnp.zeros(plan["nnzL"] + 1, data.dtype)
             .at[jnp.asarray(plan["a_dst"])]
-            .set(scaled[jnp.asarray(plan["a_src"])])
+            .set(scaled[jnp.asarray(plan["a_src"])], unique_indices=True)
         )
         dt = data.dtype
-        for lev in range(plan["nlevels"]):
-            for bk in plan["level_buckets"][lev]:
-                W = bk["W"]
-                Dl, Bm = SupernodalFactor._gather_raw(vals, bk)
-                # symmetrize lower-gathered diag block; pad cols get unit diag
-                Dfull = Dl + jnp.swapaxes(Dl, -1, -2) - jax.vmap(jnp.diag)(
-                    jnp.diagonal(Dl, axis1=-2, axis2=-1)
-                )
-                pad = (~bk["col_mask"]).astype(dt)
-                Dfull = Dfull + jax.vmap(jnp.diag)(pad)
-                Ld = jnp.linalg.cholesky(Dfull)
-                # Lb = B L_D^{-T}  ==  (L_D^{-1} Bᵀ)ᵀ
-                Lb = jnp.swapaxes(
-                    jsl.solve_triangular(Ld, jnp.swapaxes(Bm, -1, -2), lower=True),
-                    -1,
-                    -2,
-                )
-                U = jnp.einsum("bik,bjk->bij", Lb, Lb)
-                # zero padded cols of Ld before store (keep dummy slot clean-ish)
-                Ld_store = Ld * (1.0 - jax.vmap(jnp.diag)(pad))
-                newp = jnp.concatenate([Ld_store, Lb], axis=1)
-                vals = vals.at[bk["panel_idx"]].set(newp)
-                vals = vals.at[bk["schur_idx"]].add(-U)
-                vals = vals.at[plan["nnzL"]].set(0.0)
-        return SupernodalFactor(vals=vals, s=s, meta=meta)
+        DUMMY = plan["nnzL"]
 
-    @staticmethod
-    def _gather_raw(vals, bk):
-        panel = vals[bk["panel_idx"]]
-        W = bk["W"]
-        return panel[:, :W, :], panel[:, W:, :]
+        def factor_step(vals, panel_idx, cmask, W):
+            """Factorize one class batch; returns updated vals and U."""
+            panel = vals[panel_idx]
+            Dl = panel[:, :W, :]
+            Bm = panel[:, W:, :]
+            Dfull = Dl + jnp.swapaxes(Dl, -1, -2) - jax.vmap(jnp.diag)(
+                jnp.diagonal(Dl, axis1=-2, axis2=-1)
+            )
+            pad = (~cmask).astype(dt)
+            Dfull = Dfull + jax.vmap(jnp.diag)(pad)
+            Ld, nb = _chol_boosted(Dfull)
+            Lb = jnp.swapaxes(
+                jsl.solve_triangular(Ld, jnp.swapaxes(Bm, -1, -2), lower=True),
+                -1,
+                -2,
+            )
+            U = jnp.einsum("bik,bjk->bij", Lb, Lb)
+            Ld_store = Ld * (1.0 - jax.vmap(jnp.diag)(pad))
+            newp = jnp.concatenate([Ld_store, Lb], axis=1)
+            vals = _set_unique(vals, panel_idx, newp)
+            # the padded-slot writes land on DUMMY; the next class in this
+            # level gathers through DUMMY expecting 0 — reset immediately
+            return vals.at[DUMMY].set(0.0), U, nb
+
+        nboost = jnp.zeros((), jnp.int32)
+        lstar = plan["lstar"]
+        if lstar and plan["classes"]:
+
+            def body(carry, lev):
+                vals, nboost = carry
+                us = []
+                for c in plan["classes"]:
+                    panel_idx, cmask, _, _, _ = _slice_class(c, lev)
+                    vals, U, nb = factor_step(vals, panel_idx, cmask, c["W"])
+                    us.append(U.reshape(-1))
+                    nboost = nboost + nb
+                u_flat = jnp.concatenate(us + [jnp.zeros(1, dt)])
+                vals = _ell_apply(vals, plan["scan_schur"], lev, u_flat, -1.0)
+                vals = vals.at[DUMMY].set(0.0)
+                return (vals, nboost), None
+
+            (vals, nboost), _ = jax.lax.scan(
+                body, (vals, nboost), jnp.arange(lstar)
+            )
+        for li_, lev in enumerate(range(lstar, plan["nlevels"])):
+            us = []
+            for bk in plan["top_buckets"][li_]:
+                panel_idx = jnp.asarray(bk["panel_idx"])
+                cmask = jnp.asarray(bk["col_mask"])
+                vals, U, nb = factor_step(vals, panel_idx, cmask, bk["W"])
+                us.append(U.reshape(-1))
+                nboost = nboost + nb
+            if us:
+                u_flat = jnp.concatenate(us + [jnp.zeros(1, dt)])
+                vals = _ell_apply_exact(
+                    vals, plan["top_schur_ells"][li_], u_flat, -1.0
+                )
+                vals = vals.at[DUMMY].set(0.0)
+        return SupernodalFactor(vals=vals, s=s, meta=meta, boost=nboost)
 
     # -- solves -------------------------------------------------------------
 
@@ -511,15 +922,42 @@ class SupernodalFactor:
         """L y = b over the level schedule (ascending)."""
         plan = self.plan
         vals = self.vals
-        for lev in range(plan["nlevels"]):
-            for bk in plan["level_buckets"][lev]:
-                Ld, Lb = self._gather_panels(vals, bk)
-                bc = xp[bk["cols_idx"]][..., None]  # (B, W, 1)
-                yc = jsl.solve_triangular(Ld, bc, lower=True)
-                xp = xp.at[bk["cols_idx"]].set(yc[..., 0])
-                upd = jnp.einsum("bmk,bko->bmo", Lb, yc)[..., 0]
-                xp = xp.at[bk["rows_idx"]].add(-upd)
-                xp = xp.at[plan["n"]].set(0.0)
+        dt = xp.dtype
+        NDUMMY = plan["n"]
+
+        def fwd_step(xp, panel_idx, cmask, cols, rows, W):
+            Ld, Lb = self._panels(vals, panel_idx, cmask, W)
+            bc = xp[cols][..., None]
+            yc = jsl.solve_triangular(Ld, bc, lower=True)
+            xp = _set_unique(xp, cols, yc[..., 0])
+            upd = jnp.einsum("bmk,bko->bmo", Lb, yc)[..., 0]
+            return xp, upd
+
+        lstar = plan["lstar"]
+        if lstar and plan["classes"]:
+
+            def body(xp, lev):
+                fus = []
+                for c in plan["classes"]:
+                    panel_idx, cmask, cols, rows, _ = _slice_class(c, lev)
+                    xp, upd = fwd_step(xp, panel_idx, cmask, cols, rows, c["W"])
+                    fus.append(upd.reshape(-1))
+                u_fwd = jnp.concatenate(fus + [jnp.zeros(1, dt)])
+                xp = _ell_apply(xp, plan["scan_fwd"], lev, u_fwd, -1.0)
+                xp = xp.at[NDUMMY].set(0.0)
+                return xp, None
+
+            xp, _ = jax.lax.scan(body, xp, jnp.arange(lstar))
+        for li_, lev in enumerate(range(lstar, plan["nlevels"])):
+            fus = []
+            for bk in plan["top_buckets"][li_]:
+                panel_idx, cmask, cols, rows, _ = _mask_bucket(bk)
+                xp, upd = fwd_step(xp, panel_idx, cmask, cols, rows, bk["W"])
+                fus.append(upd.reshape(-1))
+            if fus:
+                u_fwd = jnp.concatenate(fus + [jnp.zeros(1, dt)])
+                xp = _ell_apply_exact(xp, plan["top_fwd_ells"][li_], u_fwd, -1.0)
+                xp = xp.at[NDUMMY].set(0.0)
         return xp
 
     @mxu_f32
@@ -527,17 +965,33 @@ class SupernodalFactor:
         """Lᵀ x = z over the level schedule (descending)."""
         plan = self.plan
         vals = self.vals
-        for lev in range(plan["nlevels"] - 1, -1, -1):
-            for bk in plan["level_buckets"][lev]:
-                Ld, Lb = self._gather_panels(vals, bk)
-                zc = xp[bk["cols_idx"]]
-                xr = xp[bk["rows_idx"]][..., None]
-                rhs = zc - jnp.einsum("bmk,bmo->bko", Lb, xr)[..., 0]
-                xc = jsl.solve_triangular(
-                    Ld, rhs[..., None], lower=True, trans=1
-                )[..., 0]
-                xp = xp.at[bk["cols_idx"]].set(xc)
+
+        def bwd_step(xp, panel_idx, cmask, cols, rows, W):
+            Ld, Lb = self._panels(vals, panel_idx, cmask, W)
+            zc = xp[cols]
+            xr = xp[rows][..., None]
+            rhs = zc - jnp.einsum("bmk,bmo->bko", Lb, xr)[..., 0]
+            xc = jsl.solve_triangular(Ld, rhs[..., None], lower=True, trans=1)[
+                ..., 0
+            ]
+            return _set_unique(xp, cols, xc)
+
+        lstar = plan["lstar"]
+        for li_ in range(plan["nlevels"] - lstar - 1, -1, -1):
+            for bk in plan["top_buckets"][li_]:
+                panel_idx, cmask, cols, rows, _ = _mask_bucket(bk)
+                xp = bwd_step(xp, panel_idx, cmask, cols, rows, bk["W"])
+            xp = xp.at[plan["n"]].set(0.0)
+        if lstar and plan["classes"]:
+
+            def body(xp, lev):
+                for c in plan["classes"]:
+                    panel_idx, cmask, cols, rows, _ = _slice_class(c, lev)
+                    xp = bwd_step(xp, panel_idx, cmask, cols, rows, c["W"])
                 xp = xp.at[plan["n"]].set(0.0)
+                return xp, None
+
+            xp, _ = jax.lax.scan(body, xp, jnp.arange(lstar), reverse=True)
         return xp
 
     def _solve1(self, b):
@@ -548,6 +1002,18 @@ class SupernodalFactor:
         if b.ndim == 1:
             return self._solve1(b)
         return jax.vmap(self._solve1, in_axes=1, out_axes=1)(b)
+
+    def solve_refined(self, Q: SparseMatrix, b: jnp.ndarray, iters: int = 2):
+        """Solve with `iters` steps of iterative refinement against the true
+        matrix: x ← x + F⁻¹(b − Qx). Recovers solve accuracy lost to f32
+        rounding (and, partially, to pivot boost) at the cost of one sparse
+        matvec + one pair of triangular solves per step. Reference role:
+        CHOLMOD users at f64 don't need this; an f32-native backend does for
+        scaled condition ≳ 1e6."""
+        x = self.solve(b)
+        for _ in range(iters):
+            x = x + self.solve(b - Q.matvec(x))
+        return x
 
     def forward_solve(self, b: jnp.ndarray) -> jnp.ndarray:
         """L x = S·b in the permuted basis (whitening); used via sqmahal-free
@@ -570,21 +1036,49 @@ class SupernodalFactor:
         """(S⁻¹L) z — maps N(0, I) to N(0, Q)."""
         plan = self.plan
         vals = self.vals
+        dt = z.dtype
         zp = jnp.concatenate([z, jnp.zeros((1,), z.dtype)])
         out = jnp.zeros(plan["n"] + 1, z.dtype)
-        for lev in range(plan["nlevels"]):
-            for bk in plan["level_buckets"][lev]:
-                Ld, Lb = self._gather_panels(vals, bk)
-                pad = (~bk["col_mask"]).astype(z.dtype)
-                Ldz = Ld - jax.vmap(jnp.diag)(pad)
-                zc = zp[bk["cols_idx"]][..., None]
-                out = out.at[bk["cols_idx"]].add(
-                    jnp.einsum("bik,bko->bio", Ldz, zc)[..., 0]
-                )
-                out = out.at[bk["rows_idx"]].add(
-                    jnp.einsum("bmk,bko->bmo", Lb, zc)[..., 0]
-                )
-                out = out.at[plan["n"]].set(0.0)
+        NDUMMY = plan["n"]
+
+        def sqrt_step(out, panel_idx, cmask, cols, rows, W):
+            Ld, Lb = self._panels(vals, panel_idx, cmask, W)
+            pad = (~cmask).astype(dt)
+            Ldz = Ld - jax.vmap(jnp.diag)(pad)
+            zc = zp[cols][..., None]
+            out = out.at[cols].add(
+                jnp.einsum("bik,bko->bio", Ldz, zc)[..., 0],
+                unique_indices=True,
+                mode="promise_in_bounds",
+            )
+            upd = jnp.einsum("bmk,bko->bmo", Lb, zc)[..., 0]
+            return out, upd
+
+        lstar = plan["lstar"]
+        if lstar and plan["classes"]:
+
+            def body(out, lev):
+                fus = []
+                for c in plan["classes"]:
+                    panel_idx, cmask, cols, rows, _ = _slice_class(c, lev)
+                    out, upd = sqrt_step(out, panel_idx, cmask, cols, rows, c["W"])
+                    fus.append(upd.reshape(-1))
+                u_fwd = jnp.concatenate(fus + [jnp.zeros(1, dt)])
+                out = _ell_apply(out, plan["scan_fwd"], lev, u_fwd, 1.0)
+                out = out.at[NDUMMY].set(0.0)
+                return out, None
+
+            out, _ = jax.lax.scan(body, out, jnp.arange(lstar))
+        for li_, lev in enumerate(range(lstar, plan["nlevels"])):
+            fus = []
+            for bk in plan["top_buckets"][li_]:
+                panel_idx, cmask, cols, rows, _ = _mask_bucket(bk)
+                out, upd = sqrt_step(out, panel_idx, cmask, cols, rows, bk["W"])
+                fus.append(upd.reshape(-1))
+            if fus:
+                u_fwd = jnp.concatenate(fus + [jnp.zeros(1, dt)])
+                out = _ell_apply_exact(out, plan["top_fwd_ells"][li_], u_fwd, 1.0)
+                out = out.at[NDUMMY].set(0.0)
         x = self._unperm_vec(out, scale=False)
         return x / self.s
 
@@ -601,30 +1095,42 @@ class SupernodalFactor:
         plan = self.plan
         vals = self.vals
         sig = jnp.zeros(plan["nnzL"] + 1, vals.dtype)
-        for lev in range(plan["nlevels"] - 1, -1, -1):
-            for bk in plan["level_buckets"][lev]:
-                Ld, Lb = self._gather_panels(vals, bk)
-                W = bk["W"]
-                # C = L_B L_D^{-1}:  Cᵀ = L_D^{-T} L_Bᵀ
-                Ct = jsl.solve_triangular(
-                    Ld, jnp.swapaxes(Lb, -1, -2), lower=True, trans=1
-                )
-                G = sig[bk["schur_idx"]]
-                Srr = G + jnp.swapaxes(G, -1, -2) - jax.vmap(jnp.diag)(
-                    jnp.diagonal(G, axis1=-2, axis2=-1)
-                )
-                Srj = -jnp.einsum("bpq,bkq->bpk", Srr, Ct)  # (B, M, W)
-                eye = jnp.broadcast_to(
-                    jnp.eye(W, dtype=vals.dtype), Ld.shape
-                )
-                Ldinv = jsl.solve_triangular(Ld, eye, lower=True)
-                Sjj = jnp.einsum("bki,bkj->bij", Ldinv, Ldinv) + jnp.einsum(
-                    "bip,bpq,bjq->bij", Ct, Srr, Ct
-                )
-                tril = _tril_mask(W, vals.dtype)
-                newp = jnp.concatenate([Sjj * tril, Srj], axis=1)
-                sig = sig.at[bk["panel_idx"]].set(newp)
-                sig = sig.at[plan["nnzL"]].set(0.0)
+        DUMMY = plan["nnzL"]
+
+        def sig_step(sig, panel_idx, cmask, schur_idx, W):
+            Ld, Lb = self._panels(vals, panel_idx, cmask, W)
+            Ct = jsl.solve_triangular(
+                Ld, jnp.swapaxes(Lb, -1, -2), lower=True, trans=1
+            )
+            G = sig[schur_idx]
+            Srr = G + jnp.swapaxes(G, -1, -2) - jax.vmap(jnp.diag)(
+                jnp.diagonal(G, axis1=-2, axis2=-1)
+            )
+            Srj = -jnp.einsum("bpq,bkq->bpk", Srr, Ct)  # (B, M, W)
+            eye = jnp.broadcast_to(jnp.eye(W, dtype=vals.dtype), Ld.shape)
+            Ldinv = jsl.solve_triangular(Ld, eye, lower=True)
+            Sjj = jnp.einsum("bki,bkj->bij", Ldinv, Ldinv) + jnp.einsum(
+                "bip,bpq,bjq->bij", Ct, Srr, Ct
+            )
+            tril = _tril_mask(W, vals.dtype)
+            newp = jnp.concatenate([Sjj * tril, Srj], axis=1)
+            sig = _set_unique(sig, panel_idx, newp)
+            return sig.at[DUMMY].set(0.0)
+
+        lstar = plan["lstar"]
+        for li_ in range(plan["nlevels"] - lstar - 1, -1, -1):
+            for bk in plan["top_buckets"][li_]:
+                panel_idx, cmask, _, _, schur_idx = _mask_bucket(bk)
+                sig = sig_step(sig, panel_idx, cmask, schur_idx, bk["W"])
+        if lstar and plan["classes"]:
+
+            def body(sig, lev):
+                for c in plan["classes"]:
+                    panel_idx, cmask, _, _, schur_idx = _slice_class(c, lev)
+                    sig = sig_step(sig, panel_idx, cmask, schur_idx, c["W"])
+                return sig, None
+
+            sig, _ = jax.lax.scan(body, sig, jnp.arange(lstar), reverse=True)
         return sig
 
     def selinv_diag(self) -> jnp.ndarray:
