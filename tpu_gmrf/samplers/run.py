@@ -25,6 +25,7 @@ from .adaptation import (
     welford_update,
     welford_variance,
 )
+from ..hoist import hoist_jit
 from .hmc import HMCState, hmc_init, hmc_kernel
 from .nuts import nuts_kernel
 
@@ -127,6 +128,8 @@ def _run_chunked(
     target_accept,
     chunk,
     progress_every=None,
+    mesh=None,
+    axis_name="chains",
 ):
     """Chunked-dispatch driver: identical math to `_single_chain`, but the
     warmup and sampling scans are split into host-level chunks of at most
@@ -137,17 +140,46 @@ def _run_chunked(
     watchdogs generally) can kill such dispatches, wedging the chip. Short
     dispatches bound the blast radius and let a retry resume cheaply. The
     per-dispatch launch overhead (~ms) is negligible against multi-second
-    chunks."""
+    chunks.
+
+    Composes with `mesh`: the chain axis (axis 0 of every carry/key array)
+    is laid out over the mesh devices with a NamedSharding, and each chunk
+    dispatch runs SPMD across the mesh — this is the BASELINE.json config
+    (64+ chains sharded over a pod slice) with the dispatch length bounded.
+    All chunk jits are constant-hoisted (`hoist_jit`) so model tables ride
+    as runtime arguments rather than HLO literals."""
     init_positions = jnp.atleast_2d(jnp.asarray(init_positions))
     num_chains, dim = init_positions.shape
     dtype = init_positions.dtype
     chain_keys = jax.random.split(key, num_chains)
 
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        if num_chains % n_dev != 0:
+            raise ValueError(
+                f"num_chains={num_chains} must divide over {n_dev} devices"
+            )
+        sharding = NamedSharding(mesh, P(axis_name))
+
+        def shard(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding)
+                if hasattr(x, "ndim") and x.ndim >= 1
+                else x,
+                tree,
+            )
+
+        chain_keys = shard(chain_keys)
+        init_positions = shard(init_positions)
+
     is_slow, window_end = warmup_schedule(num_warmup)
     is_slow = np.asarray(is_slow)
     window_end = np.asarray(window_end)
 
-    @jax.jit
+    @hoist_jit
     def init_chains(keys, positions):
         def one(key, pos):
             state = hmc_init(logdensity_fn, pos)
@@ -158,6 +190,8 @@ def _run_chunked(
         return jax.vmap(one)(keys, positions)
 
     state, wkeys, skeys = init_chains(chain_keys, init_positions)
+    if shard is not None:
+        state, wkeys, skeys = shard(state), shard(wkeys), shard(skeys)
 
     def wchunk(carry, keys, slow, w_end):
         def step(c, inp):
@@ -182,13 +216,15 @@ def _run_chunked(
 
         return jax.lax.scan(step, carry, (keys, slow, w_end))[0]
 
-    w_jit = jax.jit(jax.vmap(wchunk, in_axes=(0, 0, None, None)))
+    w_jit = hoist_jit(jax.vmap(wchunk, in_axes=(0, 0, None, None)))
     carry = (
         state,
         da_init(jnp.full((num_chains,), initial_step_size, dtype)),
         jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(num_chains)),
         jnp.ones((num_chains, dim), dtype),
     )
+    if shard is not None:
+        carry = shard(carry)
     for lo in range(0, num_warmup, chunk):
         hi = min(lo + chunk, num_warmup)
         carry = w_jit(
@@ -209,7 +245,7 @@ def _run_chunked(
 
         return jax.lax.scan(step, state, keys)
 
-    s_jit = jax.jit(jax.vmap(schunk))
+    s_jit = hoist_jit(jax.vmap(schunk))
     pos_chunks, ld_chunks, info_chunks = [], [], []
     for lo in range(0, num_samples, chunk):
         hi = min(lo + chunk, num_samples)
@@ -277,9 +313,9 @@ def _run(
         init_positions = jax.device_put(
             init_positions, NamedSharding(mesh, P(axis_name, None))
         )
-        out = jax.jit(vmapped)(keys, init_positions)
+        out = hoist_jit(vmapped)(keys, init_positions)
     else:
-        out = jax.jit(vmapped)(keys, init_positions)
+        out = hoist_jit(vmapped)(keys, init_positions)
 
     positions, lds, step_size, inv_mass, infos = out
     return NUTSResult(
@@ -311,11 +347,11 @@ def run_nuts(
     devices; `progress_every=k` prints a progress line every k draws.
     `dispatch_chunk=k` splits warmup/sampling into host-level jit calls of
     at most k transitions each — use when a single dispatch would run for
-    minutes on-device (remote-attached TPUs kill long dispatches)."""
+    minutes on-device (remote-attached TPUs kill long dispatches). `mesh`
+    and `dispatch_chunk` compose: chunked dispatch of SPMD-sharded chains
+    (the multi-host scaling config with bounded dispatch lengths)."""
     kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
     if dispatch_chunk is not None:
-        if mesh is not None:
-            raise ValueError("dispatch_chunk and mesh are mutually exclusive")
         return _run_chunked(
             logdensity_fn,
             kernel,
@@ -327,6 +363,7 @@ def run_nuts(
             target_accept,
             dispatch_chunk,
             progress_every=progress_every,
+            mesh=mesh,
         )
     return _run(
         logdensity_fn,
