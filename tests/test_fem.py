@@ -35,6 +35,24 @@ def test_generate_mesh_covers_points(rng):
     np.testing.assert_allclose(interp, pts[:, 0], atol=1e-8)
 
 
+def test_generate_mesh_quality_irregular_cloud(rng):
+    """Sizing-field fill + Delaunay refinement keeps every triangle's
+    minimum angle above ~20 deg on irregular clouds (reference Gmsh sizing
+    role, ext/.../mesh_scattered.jl; VERDICT r3 item 8)."""
+    from tpu_gmrf.fem.mesh import triangle_min_angles
+
+    # clustered + sparse mix — the shape that used to produce slivers
+    pts = np.vstack(
+        [rng.normal([0.3, 0.3], 0.03, size=(60, 2)), rng.uniform(0, 1, size=(40, 2))]
+    )
+    mesh = generate_mesh(pts)
+    angles = triangle_min_angles(mesh)
+    assert angles.min() >= 20.0, f"min angle {angles.min():.2f}"
+    # uniform cloud
+    mesh2 = generate_mesh(rng.uniform(0, 1, size=(200, 2)))
+    assert triangle_min_angles(mesh2).min() >= 20.0
+
+
 def test_rectangle_mesh():
     mesh = create_inflated_rectangle(0, 0, 1, 1, h=0.25, buffer=0.25)
     assert mesh.n_elements > 0

@@ -155,6 +155,7 @@ def build_formula_components(
         "n_random": len(random_terms),
         "n_fixed": n_fixed,
         "term_sizes": [b.shape[1] for b in A_blocks],
+        "fixed_terms": fixed_terms,
     }
     return FormulaComponents(
         A=A,
@@ -196,10 +197,21 @@ def predict_cols(components: FormulaComponents, newdata) -> SparseMatrix:
             blocks.append(T.indicator_matrix(codes, n_lev))
         else:
             raise TypeError(f"predict_cols: unsupported term {type(t)}")
-    m = blocks[0].shape[0]
     n_fixed = components.meta["n_fixed"]
     if n_fixed:
-        raise NotImplementedError(
-            "predict_cols with fixed terms: pass fixed columns explicitly"
+        # fixed terms re-evaluate their covariate columns from newdata,
+        # matching the fitted latent layout (reference
+        # ext/GaussianMarkovRandomFieldsFormula/build.jl:216-330)
+        import jax.numpy as jnp
+
+        X = np.hstack(
+            [t.fixed_cols(newdata) for t in components.meta["fixed_terms"]]
         )
+        if X.shape[1] != n_fixed:
+            raise ValueError(
+                f"newdata produced {X.shape[1]} fixed columns; fit had {n_fixed}"
+            )
+        rows, cols = np.nonzero(np.ones_like(X, dtype=bool))
+        pat = SparsePattern(rows, cols, X.shape)
+        blocks.append(SparseMatrix(jnp.asarray(X.ravel())[pat.sort_order], pat))
     return sp_hstack(blocks)
