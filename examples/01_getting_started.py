@@ -37,12 +37,17 @@ def main():
     post = linear_condition(prior, jnp.asarray(y), Q_eps=1.0 / 0.1**2, A=A)
 
     rmse = float(jnp.sqrt(jnp.mean((post.mean - truth) ** 2)))
+    mean_std = float(jnp.mean(post.std()))
     print(f"AR1 posterior RMSE vs truth: {rmse:.3f}")
-    print(f"posterior mean marginal std: {float(jnp.mean(post.std())):.3f}")
+    print(f"posterior mean marginal std: {mean_std:.3f}")
     # correctness anchors: weekly observations at σ=0.1 recover the smooth
     # truth well, and the posterior std must be far below the prior's
     assert rmse < 0.12, rmse
-    assert float(jnp.mean(post.std())) < float(jnp.mean(prior.std())) / 2
+    assert mean_std < float(jnp.mean(prior.std())) / 2
+    # golden values from the independent f64 scipy oracle on this exact
+    # seeded config (tools/golden_values.py) — BASELINE.md consequence #1
+    assert abs(rmse - 0.078080) < 2e-3, rmse
+    assert abs(mean_std - 0.723701) < 5e-3, mean_std
 
     # a posterior sample
     s = post.sample(jax.random.PRNGKey(1))
@@ -57,9 +62,13 @@ def main():
     spost = linear_condition(x, jnp.asarray(ys), Q_eps=1.0 / 0.05**2, A=Aev)
     pred = np.asarray(Aev.matvec(spost.mean))
     fit_rmse = float(np.sqrt(np.mean((pred - ys) ** 2)))
+    s_mean_std = float(jnp.mean(spost.std()))
     print(f"Matérn posterior fit RMSE at points: {fit_rmse:.4f}")
-    print(f"mean posterior std over mesh: {float(jnp.mean(spost.std())):.4f}")
+    print(f"mean posterior std over mesh: {s_mean_std:.4f}")
     assert fit_rmse < 0.1, fit_rmse
+    # golden values (f64 oracle, tools/golden_values.py)
+    assert abs(fit_rmse - 0.004299) < 2e-3, fit_rmse
+    assert abs(s_mean_std - 0.494114) < 1e-2, s_mean_std
 
 
 if __name__ == "__main__":

@@ -44,10 +44,17 @@ def main():
     eta = np.asarray(A.matvec(post.mean))
     p_hat = 1 / (1 + np.exp(-eta))
     acc = np.mean((p_hat > 0.5) == (y > 0.5))
+    mean_std = float(jnp.mean(post.std()))
+    mode_norm = float(jnp.linalg.norm(post.mean))
     print(f"training accuracy of the Laplace mode: {acc:.2%}")
-    print(f"posterior mean std over the field: {float(jnp.mean(post.std())):.3f}")
+    print(f"posterior mean std over the field: {mean_std:.3f}")
     # correctness anchor: the latent field must separate the classes well
     assert acc > 0.7, acc
+    # golden values: f64 dense-Newton oracle on this exact seeded config
+    # (tools/golden_values.py) — mode, marginal std, and accuracy
+    assert abs(mode_norm - 31.958964) < 0.3, mode_norm
+    assert abs(mean_std - 1.026679) < 0.02, mean_std
+    assert abs(acc - 0.80) < 1e-6, acc
 
 
 if __name__ == "__main__":

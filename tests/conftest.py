@@ -42,5 +42,6 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: heavyweight compile/scale tests — excluded from the smoke tier "
-        "(run `pytest -m 'not slow'` for <5 min CI; full tier runs nightly)",
+        "(run `pytest -m 'not slow'` for the ~8 min CI smoke job; the full "
+        "tier incl. all examples runs nightly)",
     )

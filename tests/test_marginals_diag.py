@@ -160,7 +160,7 @@ def test_lt_marginals_selinv_path_supernodal(monkeypatch):
     from tpu_gmrf.solvers import SolverSpec
 
     rng = np.random.default_rng(3)
-    gx, gy = np.meshgrid(np.linspace(0, 1, 18), np.linspace(0, 1, 18))
+    gx, gy = np.meshgrid(np.linspace(0, 1, 12), np.linspace(0, 1, 12))
     pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
     model = MaternModel(pts, smoothness=1, solver=SolverSpec(kind="supernodal"))
     prior = model(tau=1.0, range=0.4)

@@ -135,6 +135,7 @@ def test_tmb_style_monolithic_joint(rng):
     )
 
 
+@pytest.mark.slow
 def test_nongaussian_hyperparam_gradient_vs_fd(rng):
     """IFT gradient through the non-Gaussian Newton loop."""
     n = 12

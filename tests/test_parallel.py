@@ -46,7 +46,14 @@ def mesh():
     return Mesh(devs, ("time",))
 
 
-@pytest.mark.parametrize("Nt,ns", [(16, 3), (32, 5), (16, 1)])
+@pytest.mark.parametrize(
+    "Nt,ns",
+    [
+        pytest.param(16, 3, marks=pytest.mark.slow),
+        pytest.param(32, 5, marks=pytest.mark.slow),
+        (16, 1),
+    ],
+)
 def test_pbtridiag_solve_matches_dense(mesh, rng, Nt, ns):
     diag, sub = _random_bt_spd(rng, Nt, ns)
     A = _dense(diag, sub)
@@ -58,6 +65,7 @@ def test_pbtridiag_solve_matches_dense(mesh, rng, Nt, ns):
     np.testing.assert_allclose(np.asarray(x), expected, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_pbtridiag_logdet_matches_dense(mesh, rng):
     Nt, ns = 24, 4
     diag, sub = _random_bt_spd(rng, Nt, ns)

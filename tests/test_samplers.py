@@ -188,8 +188,8 @@ def test_nuts_over_gmrf_hyperparameters(rng):
         ld,
         jax.random.PRNGKey(4),
         jnp.zeros((2, 2)),
-        num_warmup=150,
-        num_samples=150,
+        num_warmup=80,
+        num_samples=80,
     )
     z = np.asarray(res.samples).reshape(-1, 2)
     taus = np.exp(z[:, 0])

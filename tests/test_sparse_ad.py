@@ -68,6 +68,7 @@ def test_autodiff_prior_pattern_mode_matches_dense_small():
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hd), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_autodiff_prior_pattern_mode_scales():
     """n=4096 banded prior: one Newton mode via the sparse path — would be
     a 4096² dense Hessian (134 MB f64) per iteration in 'dense' mode."""

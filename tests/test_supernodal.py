@@ -88,7 +88,10 @@ class TestNativeSymbolic:
 
 
 class TestSupernodalFactor:
-    @pytest.mark.parametrize("n,density", [(25, 0.2), (120, 0.05)])
+    @pytest.mark.parametrize(
+        "n,density",
+        [(25, 0.2), pytest.param(120, 0.05, marks=pytest.mark.slow)],
+    )
     def test_against_dense_oracle(self, n, density):
         A = _random_spd(n, density, n)
         Q = from_scipy(A)

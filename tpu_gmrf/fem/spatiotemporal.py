@@ -188,11 +188,18 @@ class AdvectionDiffusionSPDE:
         initial_smoothness: int = 2,
         bc: str = "neumann",
         constraint_noise: float = 1e-4,
+        spatial_kappa: float | None = None,
     ):
         if bc not in ("neumann", "dirichlet"):
             raise ValueError("bc must be 'neumann' or 'dirichlet'")
         self.disc = disc
         self.kappa = float(kappa)
+        # the reference decouples the PROPAGATION κ (the (κ²−∇·H∇)^α drift,
+        # struct field κ, default 1.0) from the κ of the spatial-noise and
+        # initial-condition Matérns (separately passed spatial_spde /
+        # initial_spde — the spatiotemporal tutorial uses range-0.2 noise
+        # with propagation κ=1, advection_diffusion.jl:18-27)
+        self.spatial_kappa = float(kappa if spatial_kappa is None else spatial_kappa)
         self.alpha = int(alpha)
         self.H = H
         self.gamma = np.asarray(gamma, dtype=np.float64)
@@ -257,8 +264,10 @@ class AdvectionDiffusionSPDE:
             propagation = propagation + S
         G_dt = spdiag(M.diagonal()) + propagation * (dt / self.c)
 
-        x0 = self.initial_spde.discretize(self.kappa, solver=SolverSpec(kind="dense"))
-        Q_s = self.spatial_spde.precision(self.kappa)
+        x0 = self.initial_spde.discretize(
+            self.spatial_kappa, solver=SolverSpec(kind="dense")
+        )
+        Q_s = self.spatial_spde.precision(self.spatial_kappa)
 
         # Σ⁻¹ = M⁻ᵀ β⁻ᵀ Q_s β⁻¹ M⁻¹ with β = √dt·(τ/√c)·I and diagonal M
         beta_inv = 1.0 / (np.sqrt(dt) * self.tau / np.sqrt(self.c))
