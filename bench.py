@@ -96,19 +96,28 @@ def bench_supernodal_factorize_selinv():
     summ = supernodal_symbolic_summary(Q.pattern)["flops"]
     n = Q.shape[0]
 
-    def work(data):
-        f = supernodal_factorize(dataclasses.replace(Q, data=data))
-        return f.logdet(), f.selinv_diag().sum()
+    import jax
+    import jax.numpy as jnp
+
+    R = 8  # factorizations per dispatch — amortizes the ~50 ms tunnel RTT
+
+    def work(datas):
+        def body(acc, data):
+            f = supernodal_factorize(dataclasses.replace(Q, data=data))
+            return acc + f.logdet() + f.selinv_diag().sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), Q.data.dtype), datas)
+        return acc
 
     fn = hoist_jit(work)
-    ld, sd = fn(Q.data)
-    assert np.isfinite(float(ld)), f"non-finite logdet {float(ld)}"
-    reps = 10
+    datas = jnp.stack([Q.data * (1.0 + 1e-6 * i) for i in range(R)])
+    acc = float(fn(datas))  # forced readback: axon block_until_ready lies
+    assert np.isfinite(acc), f"non-finite logdet accumulator {acc}"
+    reps = 3
     t0 = time.time()
-    for i in range(reps):
-        ld, sd = fn(Q.data * (1.0 + 1e-6 * i))
-        ld = float(ld)  # forced readback: axon block_until_ready lies
-    dt = (time.time() - t0) / reps
+    for _ in range(reps):
+        acc = float(fn(datas))
+    dt = (time.time() - t0) / (reps * R)
     gflops = 4.0 * summ / dt / 1e9
     _emit(f"supernodal_factorize_selinv_gflops_n{n}_matern2d", gflops, "GFLOP/s")
 
@@ -257,21 +266,34 @@ def bench_spmv():
     n, k = Q.shape[0], 8
     x = jnp.asarray(np.random.default_rng(0).normal(size=(n, k)), jnp.float32)
 
-    coo = hoist_jit(lambda v: (Q.matvec(v)).sum())
+    K = 64  # chained multiplies per dispatch — amortizes the tunnel RTT
+
+    def chain(mv_fn):
+        def run(v):
+            def body(x, _):
+                y = mv_fn(x)
+                return y / jnp.linalg.norm(y), None
+
+            x, _ = jax.lax.scan(body, v, None, length=K)
+            return x.sum()
+
+        return run
+
+    coo = hoist_jit(chain(Q.matvec))
     mv = hot_matvec(Q)
     if hasattr(mv, "D"):  # BlockTridiagMV pytree → pass as jit argument
-        hot_f = jax.jit(lambda m, v: m(v).sum())
+        hot_f = jax.jit(lambda m, v: chain(m)(v))
         hot = lambda v: hot_f(mv, v)
     else:  # bound method / closure → hoisted closure constants
-        hot = hoist_jit(lambda v: mv(v).sum())
+        hot = hoist_jit(chain(mv))
 
     def timeit(fn):
         s = float(fn(x))  # forced readback
-        reps = 30
+        reps = 5
         t0 = time.time()
         for _ in range(reps):
             s = float(fn(x))
-        return (time.time() - t0) / reps
+        return (time.time() - t0) / (reps * K)
 
     t_coo = timeit(coo)
     t_hot = timeit(hot)

@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 
 from tpu_gmrf.kernels import BSRMatrix, bsr_from_sparse
-from tpu_gmrf.kernels import dispatch
 from tpu_gmrf.sparse import from_scipy
 
 from conftest import random_sparse_spd
@@ -65,16 +64,6 @@ def test_bsr_vjp(rng):
         np.testing.assert_allclose(got[b][:pad_r, : sl.shape[1]], sl, rtol=1e-8)
 
 
-def test_bsr_pallas_interpret_matches_reference(rng, monkeypatch):
-    monkeypatch.setenv("TPU_GMRF_FORCE_PALLAS", "interpret")
-    dispatch.pallas_mode.cache_clear()
-    try:
-        A, As, x = _random_case(rng, n=64, k=2)
-        B = bsr_from_sparse(As, bs=8)
-        y = np.asarray(B.matvec(x))
-        np.testing.assert_allclose(y, A @ np.asarray(x), rtol=1e-8)
-    finally:
-        dispatch.pallas_mode.cache_clear()
 
 
 def test_bsr_nondivisible_n(rng):

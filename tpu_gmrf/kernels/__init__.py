@@ -6,7 +6,6 @@ trace time from host-side symbolic plans (pattern-cached), so jitted hot
 loops see exactly one formulation.
 """
 
-from .dispatch import pallas_enabled, pallas_mode
 from .bsr_spmv import BSRMatrix, best_block_size, bsr_from_sparse, bsr_spmv
 
 # Measured on the v5e chip (16k-node Matérn α=2 pattern, k=8 RHS,
@@ -72,8 +71,6 @@ def hot_matvec(Q, min_nnz: int = 50_000):
 
 
 __all__ = [
-    "pallas_enabled",
-    "pallas_mode",
     "BSRMatrix",
     "best_block_size",
     "bsr_from_sparse",

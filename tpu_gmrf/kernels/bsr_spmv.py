@@ -1,5 +1,4 @@
-"""BSR (block-sparse-row) matvec/matmat: blocked XLA einsum + a Pallas
-double-buffered DMA kernel for tile-aligned block sizes.
+"""BSR (block-sparse-row) matvec/matmat via blocked XLA einsums.
 
 The hot multiply for CG solves, quadratic forms (`sqmahal`), and linear
 predictors on large meshes (reference hot-loop rank #6, SURVEY §3.5;
@@ -8,20 +7,20 @@ code paths). TPU-native design:
 
 - the pattern is blocked host-side into bs×bs dense blocks, so every FLOP
   is a dense (bs,bs)@(bs,k) MXU contraction — no scalar gathers on device;
-- the default execution path is the batched-einsum + segment-sum XLA
-  formulation (`_spmv_reference`);
-- the Pallas kernel (scalar-prefetch block metadata, per-block-row grid,
-  double-buffered HBM→VMEM copies) engages only when bs fills whole
-  (8, 128) f32 memref tiles — Mosaic rejects sub-tile HBM slices, so tiny
-  blocks cannot be DMA'd individually (verified on v5e). For the common
-  scattered GMRF patterns, `kernels.hot_matvec` instead dispatches to the
-  dense block-tridiagonal einsum formulation (`solvers/banded.py`), which
-  measures 20–50× faster than any gather-based path on TPU.
+- execution is the batched-einsum + segment-sum XLA formulation
+  (`_spmv_reference`), which doubles as the CPU path and the adjoint
+  implementation; `bsr_spmv` carries a custom VJP (cotangents:
+  dX = Aᵀg via the transposed plan, ddata[b] = g_rowblock ⊗ x_colblock).
 
-A pure-XLA reference path (batched einsum + segment_sum) doubles as the
-CPU fallback and the adjoint implementation; `bsr_spmv` carries a
-custom VJP (cotangents: dX = Aᵀg via the transposed plan, ddata[b] =
-g_rowblock ⊗ x_colblock).
+A hand-written Pallas DMA kernel for this op was built, measured, and
+REMOVED in round 4: it is only legal when bs fills whole (8, 128) f32
+memref tiles (Mosaic rejects sub-tile HBM slices — verified on v5e), a
+block size the dispatch cost model essentially never picks, and at
+bs=128 it streamed 11 GB/s vs ~400 GB/s for the dense block-tridiagonal
+einsum path `kernels.hot_matvec` prefers. Carrying a near-unreachable
+kernel is maintenance weight without capability; the honest einsum paths
+stay. (Pallas remains the right tool for a future fused supernodal panel
+kernel, where XLA's per-op scheduling is the bottleneck.)
 """
 
 from __future__ import annotations
@@ -34,17 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:  # Pallas is TPU-oriented; keep imports lazy-safe for exotic builds
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    _HAVE_PALLAS = True
-except Exception:  # pragma: no cover
-    _HAVE_PALLAS = False
-
 from ..sparse.matrix import SparseMatrix
 from ..sparse.pattern import SparsePattern
-from .dispatch import pallas_mode
 
 __all__ = ["BSRMatrix", "bsr_from_sparse", "bsr_spmv"]
 
@@ -200,83 +190,6 @@ def _spmv_reference(blocks, x_pad, plan: _BSRPlan):
 
 
 # --------------------------------------------------------------------------
-# Pallas kernel
-# --------------------------------------------------------------------------
-
-
-def _spmv_kernel(rowptr_ref, bcols_ref, blocks_hbm, x_ref, out_ref, acc, bufs, sems):
-    r = pl.program_id(0)
-    start = rowptr_ref[r]
-    count = rowptr_ref[r + 1] - start
-    bs = out_ref.shape[0]
-
-    acc[...] = jnp.zeros_like(acc)
-
-    def get_dma(slot, idx):
-        return pltpu.make_async_copy(
-            blocks_hbm.at[start + idx], bufs.at[slot], sems.at[slot]
-        )
-
-    @pl.when(count > 0)
-    def _():
-        get_dma(0, 0).start()
-
-        def body(j, _):
-            slot = j % 2
-
-            @pl.when(j + 1 < count)
-            def _():
-                get_dma(1 - slot, j + 1).start()
-
-            get_dma(slot, j).wait()
-            col = bcols_ref[start + j]
-            xseg = x_ref[pl.ds(col * bs, bs), :]
-            acc[...] += jnp.dot(
-                bufs[slot], xseg, preferred_element_type=acc.dtype
-            )
-            return 0
-
-        jax.lax.fori_loop(0, count, body, 0)
-
-    out_ref[...] = acc[...]
-
-
-def _spmv_pallas(blocks, x_pad, plan: _BSRPlan, interpret: bool):
-    bs = plan.bs
-    k = x_pad.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(plan.nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
-        ],
-        out_specs=pl.BlockSpec((bs, k), lambda r, *_: (r, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((bs, k), x_pad.dtype),
-            pltpu.VMEM((2, bs, bs), blocks.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        _spmv_kernel,
-        out_shape=jax.ShapeDtypeStruct((plan.nb * bs, k), x_pad.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * plan.nblocks * bs * bs * k,
-            bytes_accessed=plan.nblocks * bs * bs * blocks.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(
-        jnp.asarray(plan.rowptr),
-        jnp.asarray(plan.block_cols),
-        blocks,
-        x_pad,
-    )
-
-
-# --------------------------------------------------------------------------
 # Entry point with custom VJP
 # --------------------------------------------------------------------------
 
@@ -285,19 +198,7 @@ def _spmv_impl(blocks, x, plan: _BSRPlan):
     n, k = x.shape
     n_pad = plan.nb * plan.bs
     x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
-    mode = pallas_mode()
-    # The per-block DMA kernel is only legal when a block fills whole
-    # (8, 128) memref tiles: Mosaic pads the trailing (bs, bs) dims of the
-    # HBM block array to the f32 tile, so slicing a single block with
-    # bs < 128 is rejected ("slice shape along dimension 2 must be aligned
-    # to tiling (128)") — verified on the v5e chip. Small-block patterns
-    # route to the XLA blocked-einsum path; `kernels.hot_matvec` supersedes
-    # both with the dense block-tridiagonal formulation where it applies.
-    kernel_ok = plan.bs % 128 == 0 or mode == "interpret"
-    if _HAVE_PALLAS and mode in ("tpu", "interpret") and plan.nblocks > 0 and kernel_ok:
-        y = _spmv_pallas(blocks, x_pad, plan, interpret=(mode == "interpret"))
-    else:
-        y = _spmv_reference(blocks, x_pad, plan)
+    y = _spmv_reference(blocks, x_pad, plan)
     return y[:n]
 
 

@@ -123,6 +123,10 @@ class BandedFactor:
     Lk: Any
     Mk: Any
     meta: Any = dataclasses.field(metadata=dict(static=True))  # hashable plan token
+    # pivot-boost diagnostic, as in SupernodalFactor.boost: number of block
+    # Cholesky breakdowns retried with a perturbed diagonal (f32 extreme
+    # conditioning); 0 in the well-conditioned common case
+    boost: Any = 0
 
     @property
     def plan(self):
@@ -367,15 +371,18 @@ def banded_factorize(Q: SparseMatrix, block: int | None = None) -> BandedFactor:
     if len(esel):
         E = E.at[eblk, er, ec].add(Q.data[esel])
 
+    from .supernodal import _chol_boosted
+
     def step(carry, inp):
-        prev_update = carry
+        prev_update, nb = carry
         D_k, E_k = inp
-        L_k = jnp.linalg.cholesky(D_k - prev_update)
+        L_k, nb_k = _chol_boosted((D_k - prev_update)[None])
+        L_k = L_k[0]
         M_k = jsl.solve_triangular(L_k, E_k.T, lower=True).T  # E_k L_k^{-T}
-        return M_k @ M_k.T, (L_k, M_k)
+        return (M_k @ M_k.T, nb + nb_k), (L_k, M_k)
 
     E_pad = jnp.concatenate([E, jnp.zeros((1, s, s), dtype)]) if K > 1 else jnp.zeros((K, s, s), dtype)
-    init = jnp.zeros((s, s), dtype)
-    _, (Lk, Mk_all) = jax.lax.scan(step, init, (D, E_pad[:K]))
+    init = (jnp.zeros((s, s), dtype), jnp.zeros((), jnp.int32))
+    (_, nboost), (Lk, Mk_all) = jax.lax.scan(step, init, (D, E_pad[:K]))
     Mk = Mk_all[:-1] if K > 1 else jnp.zeros((0, s, s), dtype)
-    return BandedFactor(Lk, Mk, meta=(Q.pattern, block))
+    return BandedFactor(Lk, Mk, meta=(Q.pattern, block), boost=nboost)
