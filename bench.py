@@ -55,7 +55,7 @@ METRICS = [
     ("flagship_ar1", 420),
     ("supernodal_factorize_selinv", 240),
     ("spatial_poisson_nuts", 240),
-    ("spmv", 120),
+    ("spmv", 240),
 ]
 
 
