@@ -53,7 +53,7 @@ R1_FLAGSHIP = 223.134  # BENCH_r01.json
 # (name, subprocess timeout seconds) — flagship first; one attempt each
 METRICS = [
     ("flagship_ar1", 420),
-    ("supernodal_factorize_selinv", 240),
+    ("supernodal_factorize_selinv", 330),
     ("spatial_poisson_nuts", 240),
     ("spmv", 240),
 ]
@@ -74,13 +74,16 @@ def _emit(metric, value, unit, vs_baseline=1.0):
 
 
 def bench_supernodal_factorize_selinv():
-    """Factorize + selected-inverse diagonal of a ~2.4k-node 2D Matérn(α=2)
-    precision (sized so the program demonstrably compiles through the
-    remote tunnel; scale up only after green runs — VERDICT r3 item 1c).
-    GFLOP/s uses the symbolic multiply-add count (Σ colcount² for the
-    factorization; selected inversion traverses the same schedule), so
-    value = 2 · 2 · Σcc² / wall."""
+    """Factorize + selected-inverse diagonal of 2D Matérn(α=2) precisions
+    at ~5.7k and ~14k nodes (the CHOLMOD-role workloads; VERDICT r3 item 2
+    targets the 16k class). GFLOP/s uses the symbolic multiply-add count
+    (Σ colcount² for the factorization; selected inversion traverses the
+    same schedule), so value = 2 · 2 · Σcc² / wall. Measured per-call on
+    v5e: 314 ms at n=5741, 1.33 s at n=14058."""
     import dataclasses
+
+    import jax
+    import jax.numpy as jnp
 
     from tpu_gmrf import MaternModel, hoist_jit
     from tpu_gmrf.solvers.base import SolverSpec
@@ -89,37 +92,37 @@ def bench_supernodal_factorize_selinv():
         supernodal_symbolic_summary,
     )
 
-    gx, gy = np.meshgrid(np.linspace(0, 1, 40), np.linspace(0, 1, 40))
-    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
-    model = MaternModel(pts, smoothness=1, solver=SolverSpec(kind="supernodal"))
-    Q = model.precision(tau=1.0, range=0.25)  # no eager factorization
-    summ = supernodal_symbolic_summary(Q.pattern)["flops"]
-    n = Q.shape[0]
-
-    import jax
-    import jax.numpy as jnp
-
     R = 8  # factorizations per dispatch — amortizes the ~50 ms tunnel RTT
 
-    def work(datas):
-        def body(acc, data):
-            f = supernodal_factorize(dataclasses.replace(Q, data=data))
-            return acc + f.logdet() + f.selinv_diag().sum(), None
+    for g in (63, 100):
+        gx, gy = np.meshgrid(np.linspace(0, 1, g), np.linspace(0, 1, g))
+        pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        model = MaternModel(pts, smoothness=1, solver=SolverSpec(kind="supernodal"))
+        Q = model.precision(tau=1.0, range=0.25)  # no eager factorization
+        summ = supernodal_symbolic_summary(Q.pattern)["flops"]
+        n = Q.shape[0]
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((), Q.data.dtype), datas)
-        return acc
+        def work(datas):
+            def body(acc, data):
+                f = supernodal_factorize(dataclasses.replace(Q, data=data))
+                return acc + f.logdet() + f.selinv_diag().sum(), None
 
-    fn = hoist_jit(work)
-    datas = jnp.stack([Q.data * (1.0 + 1e-6 * i) for i in range(R)])
-    acc = float(fn(datas))  # forced readback: axon block_until_ready lies
-    assert np.isfinite(acc), f"non-finite logdet accumulator {acc}"
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        acc = float(fn(datas))
-    dt = (time.time() - t0) / (reps * R)
-    gflops = 4.0 * summ / dt / 1e9
-    _emit(f"supernodal_factorize_selinv_gflops_n{n}_matern2d", gflops, "GFLOP/s")
+            acc, _ = jax.lax.scan(body, jnp.zeros((), Q.data.dtype), datas)
+            return acc
+
+        fn = hoist_jit(work)
+        datas = jnp.stack([Q.data * (1.0 + 1e-6 * i) for i in range(R)])
+        acc = float(fn(datas))  # forced readback: axon block_until_ready lies
+        assert np.isfinite(acc), f"non-finite logdet accumulator {acc}"
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            acc = float(fn(datas))
+        dt = (time.time() - t0) / (reps * R)
+        gflops = 4.0 * summ / dt / 1e9
+        _emit(
+            f"supernodal_factorize_selinv_gflops_n{n}_matern2d", gflops, "GFLOP/s"
+        )
 
 
 def bench_spatial_poisson_nuts():

@@ -8,6 +8,7 @@ static pattern — number of passes = chromatic number, no n×n arrays.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
