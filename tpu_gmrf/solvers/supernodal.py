@@ -475,63 +475,135 @@ def supernodal_plan(
     if nsuper <= _TOP_MAX:
         lstar = 0
 
-    # ---- scan classes: flat level-ordered tables per (W, M) class
-    cls_members: dict = {}
+    # ---- scan-segment choice: a single scan over [0, lstar) would process
+    # EVERY class at EVERY level (a class active only on levels 0..2 still
+    # pays padded dummy compute on levels 3..lstar — measured ~2.5x waste at
+    # 14k nodes). Partition the level axis into contiguous segments, each
+    # carrying only its active classes, via a small DP on a slot-cost proxy.
+    cls_of = {}
     for s in range(nsuper):
-        if levels[s] >= lstar:
-            continue
-        ck = (_pow2_pad(int(ns_all[s]), 4), _pow2_pad(len(sn_rows[s]), 8))
-        cls_members.setdefault(ck, []).append(s)
+        if levels[s] < lstar:
+            ck = (_pow2_pad(int(ns_all[s]), 4), _pow2_pad(len(sn_rows[s]), 8))
+            cls_of.setdefault(ck, []).append(s)
+    all_keys = sorted(cls_of)
+    slot_cost = {
+        (W, M): (W + M) * W + M * M + 8 * W for (W, M) in all_keys
+    }
+    cnt_mat = {
+        k: np.bincount(
+            levels[np.asarray(cls_of[k], np.int64)], minlength=max(lstar, 1)
+        )[:lstar]
+        for k in all_keys
+    }
 
-    classes = []
-    # per-supernode (local batch slot, class index) for ELL source layout
-    u_base = {}
+    def _seg_cost(lo, hi):
+        c = 0.0
+        for k in all_keys:
+            mx = int(cnt_mat[k][lo:hi].max()) if hi > lo else 0
+            if mx:
+                c += (hi - lo) * mx * slot_cost[k]
+        return c
+
+    SEG_OVERHEAD = 3.0e6  # compile/launch cost charged per extra segment
+    best = [0.0] + [np.inf] * lstar
+    argb = [0] * (lstar + 1)
+    for i in range(1, lstar + 1):
+        for j in range(i):
+            v = best[j] + _seg_cost(j, i) + SEG_OVERHEAD
+            if v < best[i]:
+                best[i], argb[i] = v, j
+    bounds = []
+    i = lstar
+    while i > 0:
+        bounds.append((argb[i], i))
+        i = argb[i]
+    bounds.reverse()
+
+    def _build_scan_segment(lo, hi):
+        """Self-contained scan segment: per-class flat tables over levels
+        [lo, hi) plus the per-level ELL reductions in that range."""
+        classes = []
+        sn_slot_l = {}
+        sn_cls_l = {}
+        for ci, k in enumerate(
+            [k for k in all_keys if cnt_mat[k][lo:hi].sum() > 0]
+        ):
+            W, M = k
+            members = [s for s in cls_of[k] if lo <= levels[s] < hi]
+            members = sorted(members, key=lambda s: (levels[s], sn_start[s]))
+            lv = levels[np.asarray(members, np.int64)] - lo
+            cnt = np.bincount(lv, minlength=hi - lo)[: hi - lo].astype(np.int32)
+            off = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int32)
+            P = int(cnt.max())
+            group = [
+                (int(sn_start[s]), int(ns_all[s]), sn_rows[s]) for s in members
+            ]
+            tb = _supernode_tables(group, lp, n, entry_key, W, M)
+
+            def padrow(a, fill):
+                pad = np.full((P,) + a.shape[1:], fill, a.dtype)
+                return np.concatenate([a, pad], axis=0)
+
+            classes.append(
+                dict(
+                    W=W,
+                    M=M,
+                    P=P,
+                    off=off,
+                    cnt=cnt,
+                    dummy=DUMMY,
+                    ndummy=NDUMMY,
+                    panel_idx=padrow(tb["panel_idx"], DUMMY),
+                    schur_idx=padrow(tb["schur_idx"], DUMMY),
+                    cols_idx=padrow(tb["cols_idx"], NDUMMY),
+                    rows_idx=padrow(tb["rows_idx"], NDUMMY),
+                    col_mask=padrow(tb["col_mask"], False),
+                )
+            )
+            for si, mem in enumerate(members):
+                sn_slot_l[mem] = si - off[levels[mem] - lo]
+                sn_cls_l[mem] = ci
+        ubase = np.zeros(len(classes) + 1, np.int64)
+        fbase = np.zeros(len(classes) + 1, np.int64)
+        for ci, c in enumerate(classes):
+            ubase[ci + 1] = ubase[ci] + c["P"] * c["M"] * c["M"]
+            fbase[ci + 1] = fbase[ci] + c["P"] * c["M"]
+        ZU, ZF = int(ubase[-1]), int(fbase[-1])
+
+        schur_ells, fwd_ells = [], []
+        for lev in range(lo, hi):
+            tg, sr, ftg, fsr = [], [], [], []
+            for s in np.nonzero(levels == lev)[0]:
+                rows = sn_rows[s]
+                m = len(rows)
+                if m == 0:
+                    continue
+                ci = sn_cls_l[s]
+                M = classes[ci]["M"]
+                ub, fb = int(ubase[ci]), int(fbase[ci])
+                slot = int(sn_slot_l[s])
+                pp, qq = np.tril_indices(m)
+                keys = rows[qq].astype(np.int64) * n + rows[pp]
+                tg.append(np.searchsorted(entry_key, keys).astype(np.int32))
+                sr.append((ub + (slot * M + pp) * M + qq).astype(np.int32))
+                ftg.append(rows.astype(np.int32))
+                fsr.append((fb + slot * M + np.arange(m)).astype(np.int32))
+            cat = lambda xs: np.concatenate(xs) if xs else np.zeros(0, np.int32)
+            schur_ells.append(_build_ell(cat(tg), cat(sr), DUMMY, ZU))
+            fwd_ells.append(_build_ell(cat(ftg), cat(fsr), NDUMMY, ZF))
+        return dict(
+            lo=lo,
+            hi=hi,
+            classes=classes,
+            schur=_pad_ell_levels(schur_ells, DUMMY, ZU),
+            fwd=_pad_ell_levels(fwd_ells, NDUMMY, ZF),
+        )
+
+    segments = [_build_scan_segment(lo, hi) for lo, hi in bounds]
+
+    # needed by the top-level ELL builder below
     sn_slot = np.zeros(nsuper, np.int64)
     sn_cls = np.full(nsuper, -1, np.int64)
-    for ci, ((W, M), members) in enumerate(sorted(cls_members.items())):
-        members = sorted(members, key=lambda s: (levels[s], sn_start[s]))
-        lv = levels[np.asarray(members, np.int64)]
-        cnt = np.bincount(lv, minlength=lstar)[:lstar].astype(np.int32)
-        off = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int32)
-        P = int(cnt.max()) if len(cnt) else 0
-        group = [
-            (int(sn_start[s]), int(ns_all[s]), sn_rows[s]) for s in members
-        ]
-        tb = _supernode_tables(group, lp, n, entry_key, W, M)
-        # pad the flat tables by P dummy rows so any dynamic_slice is valid
-        def padrow(a, fill):
-            pad = np.full((P,) + a.shape[1:], fill, a.dtype)
-            return np.concatenate([a, pad], axis=0)
-
-        classes.append(
-            dict(
-                W=W,
-                M=M,
-                P=P,
-                off=off,
-                cnt=cnt,
-                dummy=DUMMY,
-                ndummy=NDUMMY,
-                panel_idx=padrow(tb["panel_idx"], DUMMY),
-                schur_idx=padrow(tb["schur_idx"], DUMMY),
-                cols_idx=padrow(tb["cols_idx"], NDUMMY),
-                rows_idx=padrow(tb["rows_idx"], NDUMMY),
-                col_mask=padrow(tb["col_mask"], False),
-            )
-        )
-        for s, mem in enumerate(members):
-            sn_slot[mem] = s - off[levels[mem]]
-            sn_cls[mem] = ci
-
-    # u_flat layout per scan level: concat over classes of U_c (P, M, M),
-    # then one zero slot; u_fwd likewise with (P, M)
-    ubase = np.zeros(len(classes) + 1, np.int64)
-    fbase = np.zeros(len(classes) + 1, np.int64)
-    for ci, c in enumerate(classes):
-        ubase[ci + 1] = ubase[ci] + c["P"] * c["M"] * c["M"]
-        fbase[ci + 1] = fbase[ci] + c["P"] * c["M"]
-    ZU = int(ubase[-1])
-    ZF = int(fbase[-1])
 
     # ---- top segment: exact per-level buckets
     top_buckets: list = [[] for _ in range(nlevels - lstar)]
@@ -556,45 +628,27 @@ def supernodal_plan(
             uoff += len(members) * W * M * 0  # placeholder, not used
         # record per-supernode (bucket, slot) for ELL src below via sn_cls/sn_slot
 
-    # ---- ELL reduction tables (Schur + forward row updates), per level.
-    # Scan levels index into the padded per-level u_flat; top levels index
-    # into that level's exact concat of bucket Us.
-    def level_schur_fwd(lev):
+    # ---- ELL reduction tables for the top (unrolled) levels: exact, the
+    # sources index that level's concat of bucket Us
+    def top_level_ells(lev):
         tg, sr, ftg, fsr = [], [], [], []
-        if lev < lstar:
-            get_base = lambda ci: (int(ubase[ci]), int(fbase[ci]))
-            zslot, fzslot = ZU, ZF
-        else:
-            # exact layout: concat over this level's buckets of U (B, M, M)
-            tb_list = top_buckets[lev - lstar]
-            cum_u = np.concatenate(
-                [[0], np.cumsum([t["schur_idx"].shape[0] * t["M"] ** 2 for t in tb_list])]
-            )
-            cum_f = np.concatenate(
-                [[0], np.cumsum([t["rows_idx"].shape[0] * t["M"] for t in tb_list])]
-            )
-            zslot, fzslot = int(cum_u[-1]), int(cum_f[-1])
+        tb_list = top_buckets[lev - lstar]
+        cum_u = np.concatenate(
+            [[0], np.cumsum([t["schur_idx"].shape[0] * t["M"] ** 2 for t in tb_list])]
+        )
+        cum_f = np.concatenate(
+            [[0], np.cumsum([t["rows_idx"].shape[0] * t["M"] for t in tb_list])]
+        )
+        zslot, fzslot = int(cum_u[-1]), int(cum_f[-1])
         for s in np.nonzero(levels == lev)[0]:
             rows = sn_rows[s]
             m = len(rows)
             if m == 0:
                 continue
             slot = int(sn_slot[s])
-            if lev < lstar:
-                ci = int(sn_cls[s])
-                M = classes[ci]["M"]
-                ub, fb = int(ubase[ci]), int(fbase[ci])
-            else:
-                bi = -int(sn_cls[s]) - 1
-                tb_list = top_buckets[lev - lstar]
-                M = tb_list[bi]["M"]
-                cum_u = np.concatenate(
-                    [[0], np.cumsum([t["schur_idx"].shape[0] * t["M"] ** 2 for t in tb_list])]
-                )
-                cum_f = np.concatenate(
-                    [[0], np.cumsum([t["rows_idx"].shape[0] * t["M"] for t in tb_list])]
-                )
-                ub, fb = int(cum_u[bi]), int(cum_f[bi])
+            bi = -int(sn_cls[s]) - 1
+            M = tb_list[bi]["M"]
+            ub, fb = int(cum_u[bi]), int(cum_f[bi])
             pp, qq = np.tril_indices(m)
             keys = rows[qq].astype(np.int64) * n + rows[pp]
             tg.append(np.searchsorted(entry_key, keys).astype(np.int32))
@@ -609,19 +663,11 @@ def supernodal_plan(
             _build_ell(cat(ftg), cat(fsr), NDUMMY, fzslot),
         )
 
-    scan_schur_ells, scan_fwd_ells = [], []
-    for lev in range(lstar):
-        se, fe = level_schur_fwd(lev)
-        scan_schur_ells.append(se)
-        scan_fwd_ells.append(fe)
     top_schur_ells, top_fwd_ells = [], []
     for lev in range(lstar, nlevels):
-        se, fe = level_schur_fwd(lev)
+        se, fe = top_level_ells(lev)
         top_schur_ells.append(se)
         top_fwd_ells.append(fe)
-
-    scan_schur = _pad_ell_levels(scan_schur_ells, DUMMY, ZU)
-    scan_fwd = _pad_ell_levels(scan_fwd_ells, NDUMMY, ZF)
 
     # the diagonal entry is emitted first in every column of L
     diag_pos = lp[:-1].astype(np.int32)
@@ -641,11 +687,7 @@ def supernodal_plan(
         nsuper=nsuper,
         flops=core["flops"],
         lstar=lstar,
-        classes=classes,
-        ZU=ZU,
-        ZF=ZF,
-        scan_schur=scan_schur,
-        scan_fwd=scan_fwd,
+        segments=segments,
         top_buckets=top_buckets,
         top_schur_ells=top_schur_ells,
         top_fwd_ells=top_fwd_ells,
@@ -881,23 +923,23 @@ class SupernodalFactor:
 
         nboost = jnp.zeros((), jnp.int32)
         lstar = plan["lstar"]
-        if lstar and plan["classes"]:
+        for seg in plan["segments"]:
 
-            def body(carry, lev):
+            def body(carry, lev, seg=seg):
                 vals, nboost = carry
                 us = []
-                for c in plan["classes"]:
+                for c in seg["classes"]:
                     panel_idx, cmask, _, _, _ = _slice_class(c, lev)
                     vals, U, nb = factor_step(vals, panel_idx, cmask, c["W"])
                     us.append(U.reshape(-1))
                     nboost = nboost + nb
                 u_flat = jnp.concatenate(us + [jnp.zeros(1, dt)])
-                vals = _ell_apply(vals, plan["scan_schur"], lev, u_flat, -1.0)
+                vals = _ell_apply(vals, seg["schur"], lev, u_flat, -1.0)
                 vals = vals.at[DUMMY].set(0.0)
                 return (vals, nboost), None
 
             (vals, nboost), _ = jax.lax.scan(
-                body, (vals, nboost), jnp.arange(lstar)
+                body, (vals, nboost), jnp.arange(seg["hi"] - seg["lo"])
             )
         for li_, lev in enumerate(range(lstar, plan["nlevels"])):
             us = []
@@ -934,20 +976,20 @@ class SupernodalFactor:
             return xp, upd
 
         lstar = plan["lstar"]
-        if lstar and plan["classes"]:
+        for seg in plan["segments"]:
 
-            def body(xp, lev):
+            def body(xp, lev, seg=seg):
                 fus = []
-                for c in plan["classes"]:
+                for c in seg["classes"]:
                     panel_idx, cmask, cols, rows, _ = _slice_class(c, lev)
                     xp, upd = fwd_step(xp, panel_idx, cmask, cols, rows, c["W"])
                     fus.append(upd.reshape(-1))
                 u_fwd = jnp.concatenate(fus + [jnp.zeros(1, dt)])
-                xp = _ell_apply(xp, plan["scan_fwd"], lev, u_fwd, -1.0)
+                xp = _ell_apply(xp, seg["fwd"], lev, u_fwd, -1.0)
                 xp = xp.at[NDUMMY].set(0.0)
                 return xp, None
 
-            xp, _ = jax.lax.scan(body, xp, jnp.arange(lstar))
+            xp, _ = jax.lax.scan(body, xp, jnp.arange(seg["hi"] - seg["lo"]))
         for li_, lev in enumerate(range(lstar, plan["nlevels"])):
             fus = []
             for bk in plan["top_buckets"][li_]:
@@ -982,16 +1024,18 @@ class SupernodalFactor:
                 panel_idx, cmask, cols, rows, _ = _mask_bucket(bk)
                 xp = bwd_step(xp, panel_idx, cmask, cols, rows, bk["W"])
             xp = xp.at[plan["n"]].set(0.0)
-        if lstar and plan["classes"]:
+        for seg in reversed(plan["segments"]):
 
-            def body(xp, lev):
-                for c in plan["classes"]:
+            def body(xp, lev, seg=seg):
+                for c in seg["classes"]:
                     panel_idx, cmask, cols, rows, _ = _slice_class(c, lev)
                     xp = bwd_step(xp, panel_idx, cmask, cols, rows, c["W"])
                 xp = xp.at[plan["n"]].set(0.0)
                 return xp, None
 
-            xp, _ = jax.lax.scan(body, xp, jnp.arange(lstar), reverse=True)
+            xp, _ = jax.lax.scan(
+                body, xp, jnp.arange(seg["hi"] - seg["lo"]), reverse=True
+            )
         return xp
 
     def _solve1(self, b):
@@ -1055,20 +1099,20 @@ class SupernodalFactor:
             return out, upd
 
         lstar = plan["lstar"]
-        if lstar and plan["classes"]:
+        for seg in plan["segments"]:
 
-            def body(out, lev):
+            def body(out, lev, seg=seg):
                 fus = []
-                for c in plan["classes"]:
+                for c in seg["classes"]:
                     panel_idx, cmask, cols, rows, _ = _slice_class(c, lev)
                     out, upd = sqrt_step(out, panel_idx, cmask, cols, rows, c["W"])
                     fus.append(upd.reshape(-1))
                 u_fwd = jnp.concatenate(fus + [jnp.zeros(1, dt)])
-                out = _ell_apply(out, plan["scan_fwd"], lev, u_fwd, 1.0)
+                out = _ell_apply(out, seg["fwd"], lev, u_fwd, 1.0)
                 out = out.at[NDUMMY].set(0.0)
                 return out, None
 
-            out, _ = jax.lax.scan(body, out, jnp.arange(lstar))
+            out, _ = jax.lax.scan(body, out, jnp.arange(seg["hi"] - seg["lo"]))
         for li_, lev in enumerate(range(lstar, plan["nlevels"])):
             fus = []
             for bk in plan["top_buckets"][li_]:
@@ -1122,15 +1166,17 @@ class SupernodalFactor:
             for bk in plan["top_buckets"][li_]:
                 panel_idx, cmask, _, _, schur_idx = _mask_bucket(bk)
                 sig = sig_step(sig, panel_idx, cmask, schur_idx, bk["W"])
-        if lstar and plan["classes"]:
+        for seg in reversed(plan["segments"]):
 
-            def body(sig, lev):
-                for c in plan["classes"]:
+            def body(sig, lev, seg=seg):
+                for c in seg["classes"]:
                     panel_idx, cmask, _, _, schur_idx = _slice_class(c, lev)
                     sig = sig_step(sig, panel_idx, cmask, schur_idx, c["W"])
                 return sig, None
 
-            sig, _ = jax.lax.scan(body, sig, jnp.arange(lstar), reverse=True)
+            sig, _ = jax.lax.scan(
+                body, sig, jnp.arange(seg["hi"] - seg["lo"]), reverse=True
+            )
         return sig
 
     def selinv_diag(self) -> jnp.ndarray:
