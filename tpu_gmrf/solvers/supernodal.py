@@ -14,12 +14,14 @@ for XLA rather than translated:
 * **Device numeric, per value vector**: a right-looking factorization over
   the supernode DAG, *level-scheduled*. The schedule is split in two:
 
-  - the **scan segment** (levels 0..ℓ*): supernodes are bucketed into
-    (W, M) size classes; each class's panels are stored flat, ordered by
-    level, and one `lax.scan` over levels drives every class with
-    `dynamic_slice` + masking. The traced program is O(#classes), not
-    O(#levels × #classes) — at 16k nodes this cuts the XLA op count ~10×,
-    which is what lets the program compile on the TPU at all.
+  - the **scan segments** (levels 0..ℓ*): supernodes are bucketed into
+    (W, M) size classes; the level axis is partitioned into contiguous
+    segments by a small DP (waste vs per-trace overhead), and each
+    segment's `lax.scan` drives only ITS active classes with
+    `dynamic_slice` + masking over flat per-class tables. The traced
+    program is O(Σ classes-per-segment), not O(#levels × #classes), and
+    classes stop paying masked dummy compute on levels where they are
+    absent (measured 2.5× runtime at 14k nodes).
   - the **top segment** (levels ℓ*..end, ≤ ~48 supernodes): the big
     nested-dissection separators, unrolled exactly per level with no
     padding waste.
