@@ -52,7 +52,7 @@ R1_FLAGSHIP = 223.134  # BENCH_r01.json
 
 # (name, subprocess timeout seconds) — flagship first; one attempt each
 METRICS = [
-    ("flagship_ar1", 420),
+    ("flagship_ar1", 600),
     ("supernodal_factorize_selinv", 330),
     ("spatial_poisson_nuts", 240),
     ("spmv", 240),
