@@ -54,8 +54,8 @@ R1_FLAGSHIP = 223.134  # BENCH_r01.json
 METRICS = [
     ("flagship_ar1", 600),
     ("supernodal_factorize_selinv", 330),
-    ("spatial_poisson_nuts", 240),
     ("spmv", 240),
+    ("spatial_poisson_nuts", 480),
 ]
 
 
