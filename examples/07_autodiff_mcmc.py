@@ -65,7 +65,8 @@ def main():
         num_samples=500,
         max_depth=8,
     )
-    draws = res.constrained  # dict of (n_chains, num_samples) arrays
+    # map unconstrained draws through the ParamSpec transforms
+    draws = jax.vmap(jax.vmap(spec.constrain))(res.samples)
     rho_s = np.asarray(draws["rho"]).ravel()
     sig_s = np.asarray(draws["sigma"]).ravel()
 

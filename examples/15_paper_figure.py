@@ -33,7 +33,7 @@ def main():
     # marked point pattern: smooth class-probability surface on [0,1]^2
     n_pts = 580
     X = rng.uniform(0, 1, size=(n_pts, 2))
-    logit = 2.5 * np.sin(4.0 * X[:, 0]) * np.cos(3.0 * X[:, 1]) + 1.5 * (
+    logit = 5.0 * np.sin(4.0 * X[:, 0]) * np.cos(3.0 * X[:, 1]) + 3.0 * (
         X[:, 1] - 0.5
     )
     y_all = (rng.uniform(size=n_pts) < 1 / (1 + np.exp(-logit))).astype(np.float32)
@@ -50,7 +50,7 @@ def main():
     u = latent(tau=1.0, range=0.2)
 
     obs_model = PointEvaluationObsModel(
-        latent.discretization, X_train, ExponentialFamily("bernoulli")
+        latent.disc, X_train, ExponentialFamily("bernoulli")
     )
     lik = obs_model(jnp.asarray(y_train))
 
@@ -58,7 +58,7 @@ def main():
 
     # test accuracy via the predictive distribution
     obs_test = PointEvaluationObsModel(
-        latent.discretization, X_test, ExponentialFamily("bernoulli")
+        latent.disc, X_test, ExponentialFamily("bernoulli")
     )
     p_test = np.asarray(conditional_distribution(obs_test, post.mean).mean())
     acc = float(np.mean((p_test >= 0.5) == (y_test > 0.5)))
@@ -71,7 +71,7 @@ def main():
     gx, gy = np.meshgrid(xs, ys)
     grid = np.stack([gx.ravel(), gy.ravel()], axis=1)
     obs_grid = PointEvaluationObsModel(
-        latent.discretization, grid, ExponentialFamily("bernoulli")
+        latent.disc, grid, ExponentialFamily("bernoulli")
     )
     probs = np.asarray(conditional_distribution(obs_grid, post.mean).mean())
     probs = probs.reshape(ny, nx)

@@ -104,4 +104,29 @@ def dense_factorize(Q: SparseMatrix | jnp.ndarray) -> DenseFactor:
     d = jnp.diagonal(A, axis1=-2, axis2=-1)
     s = jnp.where(d > 0, jax.lax.rsqrt(jnp.where(d > 0, d, 1.0)), 1.0)
     A_scaled = s[..., :, None] * A * s[..., None, :]
-    return DenseFactor(jnp.linalg.cholesky(A_scaled), s)
+    L0 = jnp.linalg.cholesky(A_scaled)
+    # small-δ pivot boost: intrinsic models (Besag/RW/BYM2 reg 1e-5,
+    # fixed-effects ridge 1e-6) have near-null directions that f32 assembly
+    # noise (ε·‖Q‖) can push numerically indefinite even though the exact
+    # matrix is PD — rescue those with a δ ~ n·2e-6 ridge on the equilibrated
+    # matrix (CHOLMOD `dbound` role, as in the supernodal/banded backends).
+    # No Gershgorin catch-all here: a GENUINELY indefinite input still
+    # yields NaN rather than a silently perturbed answer.
+    n = A_scaled.shape[-1]
+    ok0 = jnp.all(
+        jnp.isfinite(jnp.diagonal(L0, axis1=-2, axis2=-1)), axis=-1
+    )
+
+    def _boost(_):
+        eye = jnp.eye(n, dtype=A_scaled.dtype)
+        delta = jnp.asarray(2e-6 * n, A_scaled.dtype)
+        L1 = jnp.linalg.cholesky(A_scaled + delta * eye)
+        ok1 = jnp.all(
+            jnp.isfinite(jnp.diagonal(L1, axis1=-2, axis2=-1)), axis=-1
+        )
+        L2 = jnp.linalg.cholesky(A_scaled + (500.0 * delta) * eye)
+        sel = jnp.where(ok0[..., None, None], L0, L1)
+        return jnp.where((ok0 | ok1)[..., None, None], sel, L2)
+
+    L = jax.lax.cond(jnp.all(ok0), lambda _: L0, _boost, operand=None)
+    return DenseFactor(L, s)
