@@ -59,6 +59,13 @@ METRICS = [
 ]
 
 
+def _platform():
+    import jax
+
+    p = jax.default_backend()
+    return {"axon": "tpu"}.get(p, p)
+
+
 def _emit(metric, value, unit, vs_baseline=1.0):
     print(
         json.dumps(
@@ -67,6 +74,7 @@ def _emit(metric, value, unit, vs_baseline=1.0):
                 "value": round(float(value), 3),
                 "unit": unit,
                 "vs_baseline": round(float(vs_baseline), 3),
+                "platform": _platform(),
             }
         ),
         flush=True,

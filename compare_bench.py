@@ -4,13 +4,23 @@ Usage:
     python compare_bench.py current.json [--history BENCH_r*.json] [--threshold 0.5]
 
 `current.json` holds one JSON object per line (bench.py output). For every
-metric present in both the current run and the best historical run, fail
-(exit 1) if current value < (1 - threshold) × best historical value —
-i.e. a >50% throughput regression by default. Metrics are throughputs
-(higher is better). A metric present in history but ABSENT from the
-current run also fails: a bench that times out and emits nothing must not
-pass the gate vacuously (round-3 failure mode). Prints a comparison table
-either way.
+metric present in both the current run and the best *same-platform*
+historical run, fail (exit 1) if current value < (1 - threshold) x best
+historical value — i.e. a >50% throughput regression by default. Metrics
+are throughputs (higher is better).
+
+Platform discipline: every metric line carries a `platform` field
+("tpu"/"cpu"; bench.py emits it, history lines without one are assumed
+"tpu" — all BENCH_r* files were produced on the chip). A CPU CI run is
+compared only against CPU history, so the nightly gate cannot go
+permanently red from comparing a CPU run against TPU numbers.
+
+A metric present in same-platform history but ABSENT from the current run
+also fails: a bench that times out and emits nothing must not pass the
+gate vacuously (round-3 failure mode). A metric whose size suffix changed
+(…_n16349 -> …_n5741) counts as present but is flagged as RESIZED and
+compared informationally against the best same-stem value — resizing a
+workload does not silently drop it from the gate's view.
 """
 
 import argparse
@@ -19,15 +29,16 @@ import json
 import sys
 
 
-def _collect(d, out):
+def _collect(d, out, default_platform="tpu"):
     if isinstance(d, dict) and "metric" in d and "value" in d:
-        out[d["metric"]] = float(d["value"])
+        plat = d.get("platform", default_platform)
+        out[(plat, d["metric"])] = float(d["value"])
 
 
 def load_metrics(path):
     """Metrics from either bench.py's line-JSON output or the driver's
     wrapped BENCH_r*.json format (single object with metric lines embedded
-    in `tail` and the last one in `parsed`)."""
+    in `tail` and the last one in `parsed`). Returns {(platform, name): value}."""
     out = {}
     try:
         with open(path) as f:
@@ -59,6 +70,10 @@ def load_metrics(path):
     return out
 
 
+def _stem(name):
+    return name.split("_n")[0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("current")
@@ -75,29 +90,56 @@ def main():
     if hist_files is None:
         hist_files = sorted(glob.glob("BENCH_r*.json"))
     best = {}
+    stem_best = {}
     for hf in hist_files:
-        for k, v in load_metrics(hf).items():
-            best[k] = max(best.get(k, 0.0), v)
+        for (plat, name), v in load_metrics(hf).items():
+            best[(plat, name)] = max(best.get((plat, name), 0.0), v)
+            sk = (plat, _stem(name))
+            stem_best[sk] = max(stem_best.get(sk, 0.0), v)
 
     failed = []
-    print(f"{'metric':<60} {'current':>12} {'best':>12} {'ratio':>7}")
-    for k, v in current.items():
-        b = best.get(k)
+    resized = []
+    print(f"{'metric':<64} {'current':>12} {'best':>12} {'ratio':>7}")
+    for (plat, name), v in current.items():
+        label = f"[{plat}] {name}"
+        b = best.get((plat, name))
         if b is None or b <= 0:
-            print(f"{k:<60} {v:>12.3f} {'--':>12} {'--':>7}")
+            sb = stem_best.get((plat, _stem(name)), 0.0)
+            if sb > 0:
+                # size suffix changed: informational comparison only — the
+                # value is not size-normalized, so don't gate on it, but
+                # surface the change loudly
+                resized.append(name)
+                print(
+                    f"{label:<64} {v:>12.3f} {sb:>12.3f} "
+                    f"{v / sb:>7.2f} RESIZED (ungated)"
+                )
+            else:
+                print(f"{label:<64} {v:>12.3f} {'--':>12} {'--':>7}")
             continue
         ratio = v / b
         flag = " REGRESSION" if ratio < 1.0 - args.threshold else ""
-        print(f"{k:<60} {v:>12.3f} {b:>12.3f} {ratio:>7.2f}{flag}")
+        print(f"{label:<64} {v:>12.3f} {b:>12.3f} {ratio:>7.2f}{flag}")
         if flag:
-            failed.append(k)
-    # workload names carry size suffixes (…_n16349); compare by stem so a
-    # re-sized workload still counts as present
-    stem = lambda name: name.split("_n")[0]
-    cur_stems = {stem(k) for k in current}
-    missing = sorted({stem(k) for k in best} - cur_stems)
+            failed.append(name)
+    # presence check: same-platform, by stem (size suffixes may change)
+    cur_platforms = {plat for plat, _ in current}
+    cur_stems = {(plat, _stem(name)) for plat, name in current}
+    missing = sorted(
+        f"[{plat}] {s}"
+        for (plat, s) in {(p, _stem(n)) for (p, n) in best if p in cur_platforms}
+        - cur_stems
+    )
+    if resized:
+        print(
+            f"\nWARNING: resized workloads (compared informationally only): "
+            f"{', '.join(resized)}"
+        )
     if missing:
-        print(f"\nFAIL: metrics in history but missing from current run: {', '.join(missing)}")
+        print(
+            f"\nFAIL: metrics in same-platform history but missing from "
+            f"current run: {', '.join(missing)}"
+        )
         sys.exit(1)
     if failed:
         print(f"\nFAIL: >{args.threshold:.0%} regression on: {', '.join(failed)}")

@@ -54,7 +54,9 @@ def main():
     # (tools/golden_values.py) — mode, marginal std, and accuracy
     assert abs(mode_norm - 31.958964) < 0.3, mode_norm
     assert abs(mean_std - 1.026679) < 0.02, mean_std
-    assert abs(acc - 0.80) < 1e-6, acc
+    # count-tolerant: accuracy is discrete (multiples of 1/150); allow a
+    # couple of boundary points to flip under cross-platform f32 kernels
+    assert abs(acc - 0.80) <= 2.0 / 150 + 1e-9, acc
 
 
 if __name__ == "__main__":

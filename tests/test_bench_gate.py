@@ -53,10 +53,34 @@ def test_gate_fails_on_regression(tmp_path):
 
 
 def test_gate_tolerates_resized_workload(tmp_path):
-    # size suffix changes (…_n16349 → …_n4093) still count as present
-    resized = dict(M2, metric="spmv_gbps_n4093")
+    # size suffix changes (…_n16349 → …_n4093) still count as present, but
+    # are loudly flagged and excluded from the ratio gate (a resize must
+    # not silently mask a regression — ADVICE r4)
+    resized = dict(M2, metric="spmv_gbps_n4093", value=1.0)
     r = _run_gate(tmp_path, [M1, resized], [_driver_wrap([M1, M2])])
     assert r.returncode == 0, r.stdout + r.stderr
+    assert "RESIZED" in r.stdout
+
+
+def test_gate_compares_same_platform_only(tmp_path):
+    # a CPU run (platform field set) must not be gated against TPU history:
+    # history lines without a platform field are TPU by convention, so the
+    # CPU run sees no same-platform history and passes — the nightly CI
+    # cannot go permanently red from the platform mismatch (VERDICT r4 #5)
+    cpu1 = dict(M1, value=1.0, platform="cpu")  # 100x below TPU best
+    cpu_only = [cpu1]
+    r = _run_gate(tmp_path, cpu_only, [_driver_wrap([M1, M2])])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "REGRESSION" not in r.stdout
+
+
+def test_gate_regresses_within_platform(tmp_path):
+    # CPU history exists → CPU run IS gated against it
+    cpu1 = dict(M1, platform="cpu")
+    worse = dict(M1, value=10.0, platform="cpu")
+    r = _run_gate(tmp_path, [worse], [_driver_wrap([cpu1])])
+    assert r.returncode == 1
+    assert "REGRESSION" in r.stdout
 
 
 def test_gate_reads_driver_wrapped_history(tmp_path):

@@ -283,9 +283,17 @@ def generate_mesh(
         allpts[free] += relax * (tgt[free] - allpts[free])
         return allpts
 
-    from matplotlib.path import Path as _MplPath
+    # Point-in-polygon via Delaunay of the (convex) rounded boundary chain:
+    # find_simplex >= 0 ⇔ inside its convex hull. Slight centroid inflation
+    # replicates the old radius-1e-6·diameter tolerance without pulling in
+    # matplotlib (not a declared dependency).
+    _pc = poly.mean(axis=0)
+    _ptri = Delaunay(_pc + (poly - _pc) * (1.0 + 1e-6))
 
-    _chain = _MplPath(poly)
+    class _chain:  # noqa: N801 — keep the call-site name
+        @staticmethod
+        def contains_points(p, radius=None):
+            return _ptri.find_simplex(p) >= 0
 
     target = 20.5
     max_insert = 4 * len(allpts)

@@ -28,8 +28,17 @@ for XLA rather than translated:
 
 * **Scatter discipline (the TPU rule)**: XLA:TPU lowers scatters with
   potentially-duplicate indices via sort loops — measured 30 ms per
-  100k-element scatter-add vs ~0 for `unique_indices=True`. Every panel
-  and column write here is unique by construction and annotated as such.
+  100k-element scatter-add vs ~0 for `unique_indices=True`. Every *live*
+  panel and column write here is unique by construction and annotated as
+  such. Caveat (deliberate): padded rows of a class batch all target the
+  single DUMMY/NDUMMY slot, so the annotation is technically violated at
+  that one index — XLA's contract makes the *dummy slot's* value
+  undefined, which is fine because it is reset to 0 immediately after
+  every scatter and never read before the reset. The live slots each
+  still receive exactly one write, so their values are well-defined under
+  any lowering. (Giving every padded row its own dummy slot would restore
+  the letter of the contract at the cost of O(batch · panel) extra table
+  memory; not worth it.)
   The two genuinely duplicated reductions (Schur updates and
   forward-solve row updates, where sibling supernodes hit shared ancestor
   entries) are reformulated as **gather + dense row-sum + unique
@@ -498,27 +507,36 @@ def supernodal_plan(
         for k in all_keys
     }
 
-    def _seg_cost(lo, hi):
-        c = 0.0
-        for k in all_keys:
-            mx = int(cnt_mat[k][lo:hi].max()) if hi > lo else 0
-            if mx:
-                c += (hi - lo) * mx * slot_cost[k]
-        return c
-
+    # Segment-choice DP on a slot-cost proxy. Candidate segment length is
+    # bounded (deep etrees would otherwise make this O(lstar² · nclasses) —
+    # minutes of host work on quasi-1D patterns); per-(i,j) cost is an O(nk)
+    # vectorized running max as j walks down, so the whole DP is
+    # O(lstar · MAXSEG · nclasses) numpy work. Splitting a >MAXSEG optimal
+    # segment costs at most one extra SEG_OVERHEAD per MAXSEG levels.
     SEG_OVERHEAD = 3.0e6  # compile/launch cost charged per extra segment
-    best = [0.0] + [np.inf] * lstar
-    argb = [0] * (lstar + 1)
+    MAXSEG = 64
+    nk = len(all_keys)
+    Cm = (
+        np.stack([cnt_mat[k] for k in all_keys]).astype(np.float64)
+        if nk
+        else np.zeros((0, max(lstar, 1)))
+    )
+    wcost = np.asarray([slot_cost[k] for k in all_keys], np.float64)
+    best = np.full(lstar + 1, np.inf)
+    best[0] = 0.0
+    argb = np.zeros(lstar + 1, np.int64)
     for i in range(1, lstar + 1):
-        for j in range(i):
-            v = best[j] + _seg_cost(j, i) + SEG_OVERHEAD
+        mx = np.zeros(nk)
+        for j in range(i - 1, max(0, i - MAXSEG) - 1, -1):
+            mx = np.maximum(mx, Cm[:, j])
+            v = best[j] + (i - j) * float(mx @ wcost) + SEG_OVERHEAD
             if v < best[i]:
                 best[i], argb[i] = v, j
     bounds = []
     i = lstar
     while i > 0:
-        bounds.append((argb[i], i))
-        i = argb[i]
+        bounds.append((int(argb[i]), i))
+        i = int(argb[i])
     bounds.reverse()
 
     def _build_scan_segment(lo, hi):
