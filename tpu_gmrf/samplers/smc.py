@@ -51,6 +51,7 @@ def run_smc(
     max_stages: int = 50,
     mesh=None,
     particle_axis: str | None = None,
+    dispatch_chunk: int | None = None,
 ) -> SMCResult:
     """Temper from prior to posterior: π_λ ∝ exp(log_prior + λ·log_lik).
 
@@ -58,7 +59,16 @@ def run_smc(
     mesh's first axis name); the per-particle likelihood/move work runs SPMD
     and the ESS/normalization/resampling reductions become XLA collectives
     (`psum`/`all_gather`) over ICI — the gathered-weight systematic
-    resampling of SURVEY §5."""
+    resampling of SURVEY §5.
+
+    ``dispatch_chunk`` (any non-None value) bounds each device dispatch to a
+    single tempering stage: the stage loop moves to the host (one jitted
+    stage per dispatch, λ read back between stages) instead of one
+    `while_loop` covering up to ``max_stages`` stages. Same bounded-dispatch
+    discipline as `run_nuts(dispatch_chunk=...)` — a whole-run dispatch can
+    execute for minutes and remote-attached TPUs kill long dispatches. The
+    per-stage work (num_move_steps x hmc_num_steps leapfrogs over the
+    particle batch) is the dispatch unit; math is identical either way."""
     particles = jnp.atleast_2d(jnp.asarray(init_particles))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -140,5 +150,17 @@ def run_smc(
         jnp.asarray(0),
         lambdas,
     )
+    if dispatch_chunk is not None:
+        from ..hoist import hoist_jit
+
+        stage_jit = hoist_jit(stage)
+        while True:
+            lam_host = float(carry[2])
+            n_stages = int(carry[4])
+            if lam_host >= 1.0 or n_stages >= max_stages:
+                break
+            carry = stage_jit(carry)
+        _, particles, lam, logZ, stages, lambdas = carry
+        return SMCResult(particles, logZ, stages, lambdas)
     _, particles, lam, logZ, stages, lambdas = jax.lax.while_loop(cond, stage, carry)
     return SMCResult(particles, logZ, stages, lambdas)

@@ -32,11 +32,17 @@ def run_advi(
     learning_rate: float = 1e-2,
     mesh=None,
     sample_axis: str | None = None,
+    dispatch_chunk: int | None = None,
 ) -> ADVIResult:
     """With ``mesh``, the multi-sample ELBO estimator is sharded over
     ``sample_axis`` (default: the mesh's first axis): each device evaluates
     its shard of the `num_elbo_samples` logdensity draws and the mean/grad
-    reductions become `psum` collectives."""
+    reductions become `psum` collectives.
+
+    ``dispatch_chunk=k`` splits the optimization into host-level jit calls
+    of at most k Adam steps each (same bounded-dispatch discipline as
+    `run_nuts`): a single scan over `num_steps` ELBO gradients can run for
+    minutes on-device, and remote-attached TPUs kill long dispatches."""
     init_position = jnp.asarray(init_position)
     dim = init_position.shape[0]
     params = {
@@ -68,7 +74,6 @@ def run_advi(
         entropy = jnp.sum(params["log_std"]) + 0.5 * dim * (1.0 + jnp.log(2 * jnp.pi))
         return -(jnp.mean(lps) + entropy)
 
-    @jax.jit
     def step(carry, key):
         params, opt_state = carry
         loss, grads = jax.value_and_grad(neg_elbo)(params, key)
@@ -77,5 +82,22 @@ def run_advi(
         return (params, opt_state), -loss
 
     keys = jax.random.split(key, num_steps)
+    if dispatch_chunk is not None:
+        from ..hoist import hoist_jit
+
+        chunk_fn = hoist_jit(lambda c, ks: jax.lax.scan(step, c, ks))
+        carry = (params, opt_state)
+        elbo_chunks = []
+        # all full-size chunks share one compiled program; a ragged tail
+        # chunk compiles once more
+        for lo in range(0, num_steps, dispatch_chunk):
+            hi = min(lo + dispatch_chunk, num_steps)
+            ks = keys[lo:hi]
+            carry, elbos = chunk_fn(carry, ks)
+            elbo_chunks.append(elbos)
+        params, _ = carry
+        return ADVIResult(
+            params["mean"], params["log_std"], jnp.concatenate(elbo_chunks)
+        )
     (params, _), elbos = jax.lax.scan(step, (params, opt_state), keys)
     return ADVIResult(params["mean"], params["log_std"], elbos)

@@ -65,6 +65,9 @@ instead of HLO literals (see hoist.py).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import os
+import pickle
 from typing import Any
 
 import jax
@@ -76,11 +79,20 @@ from ..sparse.matrix import SparseMatrix
 from ..sparse.pattern import SparsePattern
 from .base import mxu_f32
 
-__all__ = ["SupernodalFactor", "supernodal_factorize", "supernodal_plan"]
+__all__ = [
+    "SupernodalFactor",
+    "supernodal_factorize",
+    "supernodal_factorize_staged",
+    "supernodal_selinv_diag_staged",
+    "supernodal_plan",
+]
 
 _PLAN_CACHE: dict = {}
 
 _SELINV_CACHE: dict = {}
+
+# bump when the plan dict layout changes (invalidates the disk cache)
+_PLAN_VERSION = 5
 
 _TOP_MAX = 48  # supernode budget for the exactly-unrolled top segment
 
@@ -94,20 +106,24 @@ def _pow2_pad(x: int, floor: int = 8) -> int:
     return p
 
 
-def _amalgamate(parent, counts, sn_start_f, max_width):
+def _amalgamate(parent, counts, sn_start_f, max_width, tiers=None):
     """Relaxed-supernode amalgamation (CHOLMOD-style).
 
     Merges a fundamental supernode chain into its parent when the explicit
-    zeros introduced stay under a width-tiered fraction (w≤4 always; w≤16 at
-    ≤80%; w≤48 at ≤10%; otherwise ≤5%). This is what keeps the level
-    schedule shallow and the dense blocks MXU-sized at large n: nested-
-    dissection separators collapse into single wide supernodes.
+    zeros introduced stay under a width-tiered fraction (`tiers` =
+    ((w1, z1), (w2, z2), ..., (inf, z_last)): merge if w <= w_k and
+    z <= z_k for some tier; default (4,1)(16,.8)(48,.1)(inf,.05)). This is
+    what keeps the level schedule shallow and the dense blocks MXU-sized at
+    large n: nested-dissection separators collapse into single wide
+    supernodes.
 
     Returns (sn_start_merged, top_first_col, m_merged) where top_first_col[s]
     is the first column of the parent-most fundamental constituent (whose
     below-supernode row set IS the merged supernode's row set, by the etree
     column-containment property) and m_merged[s] = |R_s|.
     """
+    if tiers is None:
+        tiers = ((4, 1.0), (16, 0.8), (48, 0.1), (np.inf, 0.05))
     nf = len(sn_start_f) - 1
     first_f = sn_start_f[:-1].astype(np.int64)
     ns_f = (sn_start_f[1:] - sn_start_f[:-1]).astype(np.int64)
@@ -139,12 +155,7 @@ def _amalgamate(parent, counts, sn_start_f, max_width):
             new_nnz = w * (w + 1) // 2 + w * mR
             act = nnz + int(st_nnz[top])
             z = 1.0 - act / new_nnz if new_nnz else 0.0
-            ok = (
-                w <= 4
-                or (w <= 16 and z <= 0.8)
-                or (w <= 48 and z <= 0.1)
-                or z <= 0.05
-            )
+            ok = any(w <= tw and z <= tz for tw, tz in tiers)
             if not ok:
                 break
             s0 = int(st_s0[top])
@@ -220,9 +231,21 @@ def _symbolic_core(pattern: SparsePattern, max_width: int, ordering: str):
     np.add.at(sn_start_f, snode_f.astype(np.int64) + 1, 1)
     sn_start_f = np.cumsum(sn_start_f)
 
-    # 3) relaxed amalgamation → merged supernodes with explicit-zero padding
+    # 3) relaxed amalgamation → merged supernodes with explicit-zero padding.
+    # Above ~2e5 nodes the tiers relax further: Σ M² (which sets both the
+    # Schur index-table bytes and the padded update flops) is dominated by
+    # mid-tree supernodes with modest widths and large row sets, and
+    # merging those into wider panels cuts supernode count ~4x and table
+    # memory ~30% at n=1e6 while feeding the MXU larger blocks. The policy
+    # is a pure function of n, so plan cache keys stay (pattern, width,
+    # ordering).
+    tiers = (
+        None
+        if n <= 200_000
+        else ((16, 1.0), (64, 0.8), (256, 0.35), (np.inf, 0.15))
+    )
     sn_start, top_first, m_all = _amalgamate(
-        parent, counts, sn_start_f, max_width
+        parent, counts, sn_start_f, max_width, tiers
     )
     nsuper = len(sn_start) - 1
     ns_all = sn_start[1:] - sn_start[:-1]
@@ -413,6 +436,25 @@ def supernodal_plan(
     plan = _PLAN_CACHE.get(key)
     if plan is not None:
         return plan
+
+    # Disk cache for big plans: at n=1e6 the host symbolic build is ~1 min
+    # of Python; a bench subprocess (or any fresh process) must not re-pay
+    # it. Opt-in via TPU_GMRF_PLAN_CACHE=<dir>; keyed by pattern content
+    # hash + parameters + format version.
+    disk = None
+    if pattern.shape[0] >= 50_000:
+        root = os.environ.get("TPU_GMRF_PLAN_CACHE")
+        if root:
+            tag = hashlib.sha1(
+                pattern._digest
+                + f"|{max_width}|{ordering}|v{_PLAN_VERSION}".encode()
+            ).hexdigest()[:24]
+            disk = os.path.join(root, f"plan_{pattern.shape[0]}_{tag}.pkl")
+            if os.path.exists(disk):
+                with open(disk, "rb") as f:
+                    plan = pickle.load(f)
+                _PLAN_CACHE[key] = plan
+                return plan
 
     from .. import native
 
@@ -713,6 +755,12 @@ def supernodal_plan(
         top_fwd_ells=top_fwd_ells,
     )
     _PLAN_CACHE[key] = plan
+    if disk is not None:
+        os.makedirs(os.path.dirname(disk), exist_ok=True)
+        tmp = disk + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(plan, f, protocol=4)
+        os.replace(tmp, disk)
     return plan
 
 
@@ -763,15 +811,14 @@ def _chol_boosted(Dfull):
             Dfull + (dom[:, None, None] + delta) * eye
         )
         sel1 = jnp.where(ok0[:, None, None], L0, L1)
-        L = jnp.where((ok0 | ok1)[:, None, None], sel1, L2)
-        return L, jnp.sum(~ok0).astype(jnp.int32)
+        return jnp.where((ok0 | ok1)[:, None, None], sel1, L2)
 
-    return jax.lax.cond(
-        jnp.all(ok0),
-        lambda _: (L0, jnp.zeros((), jnp.int32)),
-        _boost,
-        operand=None,
-    )
+    # nb computed outside the cond so both branches return identically-
+    # typed values (shard_map tracks value-varying axes through cond
+    # branches; a constant zero in one branch and a data-derived count in
+    # the other would mismatch)
+    L = jax.lax.cond(jnp.all(ok0), lambda _: L0, _boost, operand=None)
+    return L, jnp.sum(~ok0).astype(jnp.int32)
 
 
 def _slice_class(c, lev):
@@ -849,6 +896,145 @@ def _set_unique(arr, idx, val):
     return arr.at[idx].set(val, unique_indices=True, mode="promise_in_bounds")
 
 
+# ---- factorization building blocks (shared by the single-trace path and
+# ---- the staged multi-dispatch path used at very large n) ----------------
+
+
+def _panel_math(vals, panel_idx, cmask, W, dt):
+    """Dense panel work for one (shard of a) class batch: gather the
+    panel, diagonal-block Cholesky (with pivot boost), triangular panel
+    solve, SYRK. Returns (new_panel, U, n_boosted)."""
+    panel = vals[panel_idx]
+    Dl = panel[:, :W, :]
+    Bm = panel[:, W:, :]
+    Dfull = Dl + jnp.swapaxes(Dl, -1, -2) - jax.vmap(jnp.diag)(
+        jnp.diagonal(Dl, axis1=-2, axis2=-1)
+    )
+    pad = (~cmask).astype(dt)
+    Dfull = Dfull + jax.vmap(jnp.diag)(pad)
+    Ld, nb = _chol_boosted(Dfull)
+    Lb = jnp.swapaxes(
+        jsl.solve_triangular(Ld, jnp.swapaxes(Bm, -1, -2), lower=True),
+        -1,
+        -2,
+    )
+    U = jnp.einsum("bik,bjk->bij", Lb, Lb)
+    Ld_store = Ld * (1.0 - jax.vmap(jnp.diag)(pad))
+    newp = jnp.concatenate([Ld_store, Lb], axis=1)
+    return newp, U, nb
+
+
+def _fct_init(Q: SparseMatrix, plan):
+    """Preamble: symmetrize stored triangles, Jacobi-equilibrate, scatter
+    A's lower entries onto the fill pattern. Returns (vals, s)."""
+    data = 0.5 * (Q.data + Q.data[jnp.asarray(Q.pattern.transpose_perm)])
+    d = data[jnp.asarray(Q.pattern.diag_positions)]
+    s = jnp.where(d > 0, jax.lax.rsqrt(jnp.where(d > 0, d, 1.0)), 1.0)
+    scaled = data * s[Q.pattern.rows] * s[Q.pattern.cols]
+    vals = (
+        jnp.zeros(plan["nnzL"] + 1, data.dtype)
+        .at[jnp.asarray(plan["a_dst"])]
+        .set(scaled[jnp.asarray(plan["a_src"])], unique_indices=True)
+    )
+    return vals, s
+
+
+def _fct_segment(vals, nboost, seg, DUMMY, step_fn):
+    """Run one scan segment of the factorization schedule."""
+    dt = vals.dtype
+
+    def body(carry, lev):
+        vals, nboost = carry
+        us = []
+        for c in seg["classes"]:
+            panel_idx, cmask, _, _, _ = _slice_class(c, lev)
+            vals, U, nb = step_fn(vals, panel_idx, cmask, c["W"])
+            us.append(U.reshape(-1))
+            nboost = nboost + nb
+        u_flat = jnp.concatenate(us + [jnp.zeros(1, dt)])
+        vals = _ell_apply(vals, seg["schur"], lev, u_flat, -1.0)
+        vals = vals.at[DUMMY].set(0.0)
+        return (vals, nboost), None
+
+    (vals, nboost), _ = jax.lax.scan(
+        body, (vals, nboost), jnp.arange(seg["hi"] - seg["lo"])
+    )
+    return vals, nboost
+
+
+def _fct_top_level(vals, nboost, plan, li_, step_fn):
+    """Run one exactly-unrolled top level of the factorization schedule."""
+    dt = vals.dtype
+    DUMMY = plan["nnzL"]
+    us = []
+    for bk in plan["top_buckets"][li_]:
+        panel_idx = jnp.asarray(bk["panel_idx"])
+        cmask = jnp.asarray(bk["col_mask"])
+        vals, U, nb = step_fn(vals, panel_idx, cmask, bk["W"])
+        us.append(U.reshape(-1))
+        nboost = nboost + nb
+    if us:
+        u_flat = jnp.concatenate(us + [jnp.zeros(1, dt)])
+        vals = _ell_apply_exact(vals, plan["top_schur_ells"][li_], u_flat, -1.0)
+        vals = vals.at[DUMMY].set(0.0)
+    return vals, nboost
+
+
+def _plain_step(DUMMY, dt):
+    """The single-device factor step: panel math + unique scatter."""
+
+    def step(vals, panel_idx, cmask, W):
+        newp, U, nb = _panel_math(vals, panel_idx, cmask, W, dt)
+        vals = _set_unique(vals, panel_idx, newp)
+        # the padded-slot writes land on DUMMY; the next class in this
+        # level gathers through DUMMY expecting 0 — reset immediately
+        return vals.at[DUMMY].set(0.0), U, nb
+
+    return step
+
+
+def _sig_step(vals, sig, panel_idx, cmask, schur_idx, W, DUMMY):
+    """One class batch of the block Takahashi recursion:
+    Σ_RJ = −Σ_RR·C, Σ_JJ = L_D⁻ᵀL_D⁻¹ + CᵀΣ_RR·C with C = L_B L_D⁻¹."""
+    Ld, Lb = SupernodalFactor._panels(vals, panel_idx, cmask, W)
+    Ct = jsl.solve_triangular(Ld, jnp.swapaxes(Lb, -1, -2), lower=True, trans=1)
+    G = sig[schur_idx]
+    Srr = G + jnp.swapaxes(G, -1, -2) - jax.vmap(jnp.diag)(
+        jnp.diagonal(G, axis1=-2, axis2=-1)
+    )
+    Srj = -jnp.einsum("bpq,bkq->bpk", Srr, Ct)  # (B, M, W)
+    eye = jnp.broadcast_to(jnp.eye(W, dtype=vals.dtype), Ld.shape)
+    Ldinv = jsl.solve_triangular(Ld, eye, lower=True)
+    Sjj = jnp.einsum("bki,bkj->bij", Ldinv, Ldinv) + jnp.einsum(
+        "bip,bpq,bjq->bij", Ct, Srr, Ct
+    )
+    tril = _tril_mask(W, vals.dtype)
+    newp = jnp.concatenate([Sjj * tril, Srj], axis=1)
+    sig = _set_unique(sig, panel_idx, newp)
+    return sig.at[DUMMY].set(0.0)
+
+
+def _sig_top_level(vals, sig, plan, li_):
+    DUMMY = plan["nnzL"]
+    for bk in plan["top_buckets"][li_]:
+        panel_idx, cmask, _, _, schur_idx = _mask_bucket(bk)
+        sig = _sig_step(vals, sig, panel_idx, cmask, schur_idx, bk["W"], DUMMY)
+    return sig
+
+
+def _sig_segment(vals, sig, seg, DUMMY):
+    def body(sig, lev):
+        for c in seg["classes"]:
+            panel_idx, cmask, _, _, schur_idx = _slice_class(c, lev)
+            sig = _sig_step(vals, sig, panel_idx, cmask, schur_idx, c["W"], DUMMY)
+        return sig, None
+
+    sig, _ = jax.lax.scan(
+        body, sig, jnp.arange(seg["hi"] - seg["lo"]), reverse=True
+    )
+    return sig
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SupernodalFactor:
@@ -901,80 +1087,78 @@ class SupernodalFactor:
 
     @staticmethod
     @mxu_f32
-    def _factorize(Q: SparseMatrix, meta) -> "SupernodalFactor":
+    def _factorize(Q: SparseMatrix, meta, mesh=None) -> "SupernodalFactor":
         plan = _PLAN_CACHE[meta]
         # Symmetrize (average both stored triangles) so ∂/∂data matches the
         # dense backend's convention: each stored entry gets Z_ij, not 2Z/0.
-        data = 0.5 * (Q.data + Q.data[jnp.asarray(Q.pattern.transpose_perm)])
-        d = data[jnp.asarray(Q.pattern.diag_positions)]
-        s = jnp.where(d > 0, jax.lax.rsqrt(jnp.where(d > 0, d, 1.0)), 1.0)
-        scaled = data * s[Q.pattern.rows] * s[Q.pattern.cols]
-        vals = (
-            jnp.zeros(plan["nnzL"] + 1, data.dtype)
-            .at[jnp.asarray(plan["a_dst"])]
-            .set(scaled[jnp.asarray(plan["a_src"])], unique_indices=True)
-        )
-        dt = data.dtype
+        vals, s = _fct_init(Q, plan)
+        dt = vals.dtype
         DUMMY = plan["nnzL"]
 
-        def factor_step(vals, panel_idx, cmask, W):
-            """Factorize one class batch; returns updated vals and U."""
-            panel = vals[panel_idx]
-            Dl = panel[:, :W, :]
-            Bm = panel[:, W:, :]
-            Dfull = Dl + jnp.swapaxes(Dl, -1, -2) - jax.vmap(jnp.diag)(
-                jnp.diagonal(Dl, axis1=-2, axis2=-1)
-            )
-            pad = (~cmask).astype(dt)
-            Dfull = Dfull + jax.vmap(jnp.diag)(pad)
-            Ld, nb = _chol_boosted(Dfull)
-            Lb = jnp.swapaxes(
-                jsl.solve_triangular(Ld, jnp.swapaxes(Bm, -1, -2), lower=True),
-                -1,
-                -2,
-            )
-            U = jnp.einsum("bik,bjk->bij", Lb, Lb)
-            Ld_store = Ld * (1.0 - jax.vmap(jnp.diag)(pad))
-            newp = jnp.concatenate([Ld_store, Lb], axis=1)
-            vals = _set_unique(vals, panel_idx, newp)
-            # the padded-slot writes land on DUMMY; the next class in this
-            # level gathers through DUMMY expecting 0 — reset immediately
-            return vals.at[DUMMY].set(0.0), U, nb
+        def panel_math(vals, panel_idx, cmask, W):
+            return _panel_math(vals, panel_idx, cmask, W, dt)
+
+        if mesh is not None:
+            # TP first step (SURVEY §2.K TP row): shard the class-batch axis
+            # of the dense panel work over the mesh. vals stays replicated;
+            # each device gathers/factorizes/solves only its shard of the
+            # batch and the outputs are re-gathered for the (replicated)
+            # scatter + ELL reduction. Values are bit-identical to the
+            # single-device path — the split axis is an embarrassingly
+            # parallel batch, no reduction is reordered. The wide top-
+            # segment separators stay replicated (their batches are ≤48;
+            # splitting *within* a panel is the next step).
+            from jax.sharding import PartitionSpec as _P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover — older jax
+                from jax.experimental.shard_map import shard_map
+
+            _ax = mesh.axis_names[0]
+            _ndev = mesh.shape[_ax]
+
+            def _tp_panel_math(vals, panel_idx, cmask, W):
+                B = panel_idx.shape[0]
+                Bp = -(-B // _ndev) * _ndev
+                pidx = jnp.concatenate(
+                    [panel_idx, jnp.full((Bp - B,) + panel_idx.shape[1:], DUMMY, panel_idx.dtype)]
+                )
+                cm = jnp.concatenate(
+                    [cmask, jnp.zeros((Bp - B, cmask.shape[1]), cmask.dtype)]
+                )
+                def _local(v, p, c):
+                    newp, U, nb = panel_math(v, p, c, W)
+                    return newp, U, nb[None]
+
+                f = shard_map(
+                    _local,
+                    mesh=mesh,
+                    in_specs=(_P(), _P(_ax), _P(_ax)),
+                    out_specs=(_P(_ax), _P(_ax), _P(_ax)),
+                )
+                newp, U, nb = f(vals, pidx, cm)
+                return newp[:B], U[:B], jnp.sum(nb, dtype=jnp.int32)
+
+        plain = _plain_step(DUMMY, dt)
+        if mesh is not None:
+
+            def scan_step(vals, panel_idx, cmask, W):
+                newp, U, nb = _tp_panel_math(vals, panel_idx, cmask, W)
+                vals = _set_unique(vals, panel_idx, newp)
+                return vals.at[DUMMY].set(0.0), U, nb
+
+        else:
+            scan_step = plain
 
         nboost = jnp.zeros((), jnp.int32)
-        lstar = plan["lstar"]
         for seg in plan["segments"]:
-
-            def body(carry, lev, seg=seg):
-                vals, nboost = carry
-                us = []
-                for c in seg["classes"]:
-                    panel_idx, cmask, _, _, _ = _slice_class(c, lev)
-                    vals, U, nb = factor_step(vals, panel_idx, cmask, c["W"])
-                    us.append(U.reshape(-1))
-                    nboost = nboost + nb
-                u_flat = jnp.concatenate(us + [jnp.zeros(1, dt)])
-                vals = _ell_apply(vals, seg["schur"], lev, u_flat, -1.0)
-                vals = vals.at[DUMMY].set(0.0)
-                return (vals, nboost), None
-
-            (vals, nboost), _ = jax.lax.scan(
-                body, (vals, nboost), jnp.arange(seg["hi"] - seg["lo"])
-            )
-        for li_, lev in enumerate(range(lstar, plan["nlevels"])):
-            us = []
-            for bk in plan["top_buckets"][li_]:
-                panel_idx = jnp.asarray(bk["panel_idx"])
-                cmask = jnp.asarray(bk["col_mask"])
-                vals, U, nb = factor_step(vals, panel_idx, cmask, bk["W"])
-                us.append(U.reshape(-1))
-                nboost = nboost + nb
-            if us:
-                u_flat = jnp.concatenate(us + [jnp.zeros(1, dt)])
-                vals = _ell_apply_exact(
-                    vals, plan["top_schur_ells"][li_], u_flat, -1.0
-                )
-                vals = vals.at[DUMMY].set(0.0)
+            vals, nboost = _fct_segment(vals, nboost, seg, DUMMY, scan_step)
+        for li_ in range(plan["nlevels"] - plan["lstar"]):
+            # top separators stay on the plain step even under a mesh: their
+            # batches are ≤48 wide blocks — splitting within a panel is the
+            # next TP step
+            vals, nboost = _fct_top_level(vals, nboost, plan, li_, plain)
         return SupernodalFactor(vals=vals, s=s, meta=meta, boost=nboost)
 
     # -- solves -------------------------------------------------------------
@@ -1159,44 +1343,10 @@ class SupernodalFactor:
         plan = self.plan
         vals = self.vals
         sig = jnp.zeros(plan["nnzL"] + 1, vals.dtype)
-        DUMMY = plan["nnzL"]
-
-        def sig_step(sig, panel_idx, cmask, schur_idx, W):
-            Ld, Lb = self._panels(vals, panel_idx, cmask, W)
-            Ct = jsl.solve_triangular(
-                Ld, jnp.swapaxes(Lb, -1, -2), lower=True, trans=1
-            )
-            G = sig[schur_idx]
-            Srr = G + jnp.swapaxes(G, -1, -2) - jax.vmap(jnp.diag)(
-                jnp.diagonal(G, axis1=-2, axis2=-1)
-            )
-            Srj = -jnp.einsum("bpq,bkq->bpk", Srr, Ct)  # (B, M, W)
-            eye = jnp.broadcast_to(jnp.eye(W, dtype=vals.dtype), Ld.shape)
-            Ldinv = jsl.solve_triangular(Ld, eye, lower=True)
-            Sjj = jnp.einsum("bki,bkj->bij", Ldinv, Ldinv) + jnp.einsum(
-                "bip,bpq,bjq->bij", Ct, Srr, Ct
-            )
-            tril = _tril_mask(W, vals.dtype)
-            newp = jnp.concatenate([Sjj * tril, Srj], axis=1)
-            sig = _set_unique(sig, panel_idx, newp)
-            return sig.at[DUMMY].set(0.0)
-
-        lstar = plan["lstar"]
-        for li_ in range(plan["nlevels"] - lstar - 1, -1, -1):
-            for bk in plan["top_buckets"][li_]:
-                panel_idx, cmask, _, _, schur_idx = _mask_bucket(bk)
-                sig = sig_step(sig, panel_idx, cmask, schur_idx, bk["W"])
+        for li_ in range(plan["nlevels"] - plan["lstar"] - 1, -1, -1):
+            sig = _sig_top_level(vals, sig, plan, li_)
         for seg in reversed(plan["segments"]):
-
-            def body(sig, lev, seg=seg):
-                for c in seg["classes"]:
-                    panel_idx, cmask, _, _, schur_idx = _slice_class(c, lev)
-                    sig = sig_step(sig, panel_idx, cmask, schur_idx, c["W"])
-                return sig, None
-
-            sig, _ = jax.lax.scan(
-                body, sig, jnp.arange(seg["hi"] - seg["lo"]), reverse=True
-            )
+            sig = _sig_segment(vals, sig, seg, plan["nnzL"])
         return sig
 
     def selinv_diag(self) -> jnp.ndarray:
@@ -1245,9 +1395,118 @@ class SupernodalFactor:
 
 
 def supernodal_factorize(
-    Q: SparseMatrix, max_width: int = 2048, ordering: str = "auto"
+    Q: SparseMatrix, max_width: int = 2048, ordering: str = "auto", mesh=None
 ) -> SupernodalFactor:
+    """Factorize Q (SPD, symmetric pattern). With `mesh` (a
+    jax.sharding.Mesh), the scan-level class batches' dense panel work is
+    sharded over the mesh's first axis (TP over supernode batches, SURVEY
+    §2.K TP row); results are bit-identical to the single-device path."""
     if not Q.pattern.is_symmetric:
         raise ValueError("supernodal backend requires a symmetric pattern")
     supernodal_plan(Q.pattern, max_width, ordering)  # ensure cached
-    return SupernodalFactor._factorize(Q, (Q.pattern, max_width, ordering))
+    return SupernodalFactor._factorize(
+        Q, (Q.pattern, max_width, ordering), mesh=mesh
+    )
+
+
+# ---- staged (multi-dispatch) execution for very large plans ---------------
+#
+# At n=1e6 the single-trace factorize+selinv program exceeds what the
+# remote compile helper survives (observed: tpu_compile_helper SIGKILL).
+# The staged path compiles ONE SMALL PROGRAM PER SCHEDULE STAGE (init, each
+# scan segment, each top level; same for the Takahashi sweep) and drives
+# them from the host — the same bounded-dispatch discipline the samplers
+# use. Numerically identical to the single-trace path; adds one ~50 ms
+# dispatch round trip per stage (~15 stages at 1e6 ≈ 0.8 s on a multi-
+# second factorization). Not jittable from outside, by construction.
+
+_STAGED_CACHE: dict = {}
+
+
+def _staged_fns(meta):
+    fns = _STAGED_CACHE.get(meta)
+    if fns is not None:
+        return fns
+    from ..hoist import hoist_jit
+
+    plan = _PLAN_CACHE[meta]
+    DUMMY = plan["nnzL"]
+
+    def init(Q):
+        return _fct_init(Q, plan)
+
+    def make_seg(seg):
+        def f(vals, nboost):
+            return _fct_segment(
+                vals, nboost, seg, DUMMY, _plain_step(DUMMY, vals.dtype)
+            )
+
+        return hoist_jit(mxu_f32(f))
+
+    def make_top(li_):
+        def f(vals, nboost):
+            return _fct_top_level(
+                vals, nboost, plan, li_, _plain_step(DUMMY, vals.dtype)
+            )
+
+        return hoist_jit(mxu_f32(f))
+
+    def make_sig_top(li_):
+        def f(vals, sig):
+            return _sig_top_level(vals, sig, plan, li_)
+
+        return hoist_jit(mxu_f32(f))
+
+    def make_sig_seg(seg):
+        def f(vals, sig):
+            return _sig_segment(vals, sig, seg, DUMMY)
+
+        return hoist_jit(mxu_f32(f))
+
+    ntop = plan["nlevels"] - plan["lstar"]
+    fns = dict(
+        init=hoist_jit(mxu_f32(init)),
+        segs=[make_seg(seg) for seg in plan["segments"]],
+        tops=[make_top(li_) for li_ in range(ntop)],
+        sig_tops=[make_sig_top(li_) for li_ in range(ntop)],
+        sig_segs=[make_sig_seg(seg) for seg in plan["segments"]],
+    )
+    _STAGED_CACHE[meta] = fns
+    return fns
+
+
+def supernodal_factorize_staged(
+    Q: SparseMatrix, max_width: int = 2048, ordering: str = "auto"
+) -> SupernodalFactor:
+    """Factorize via one compiled program per schedule stage (see module
+    note above). Use for n ≳ 5e5 where the fused program breaks the remote
+    compiler; otherwise `supernodal_factorize` is preferable (fewer
+    dispatches, cross-stage XLA fusion)."""
+    if not Q.pattern.is_symmetric:
+        raise ValueError("supernodal backend requires a symmetric pattern")
+    meta = (Q.pattern, max_width, ordering)
+    supernodal_plan(*meta)
+    fns = _staged_fns(meta)
+    vals, s = fns["init"](Q)
+    nboost = jnp.zeros((), jnp.int32)
+    for f in fns["segs"]:
+        vals, nboost = f(vals, nboost)
+    for f in fns["tops"]:
+        vals, nboost = f(vals, nboost)
+    return SupernodalFactor(vals=vals, s=s, meta=meta, boost=nboost)
+
+
+def supernodal_selinv_diag_staged(factor: SupernodalFactor) -> jnp.ndarray:
+    """`factor.selinv_diag()` with the Takahashi sweep split into one
+    compiled program per stage (descending top levels, then segments in
+    reverse)."""
+    fns = _staged_fns(factor.meta)
+    plan = factor.plan
+    sig = jnp.zeros(plan["nnzL"] + 1, factor.vals.dtype)
+    for f in reversed(fns["sig_tops"]):
+        sig = f(factor.vals, sig)
+    for f in reversed(fns["sig_segs"]):
+        sig = f(factor.vals, sig)
+    dp = sig[jnp.asarray(plan["diag_pos"])]
+    d = jnp.zeros(plan["n"], dp.dtype).at[jnp.asarray(plan["perm"])].set(dp)
+    return factor.s**2 * d
