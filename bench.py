@@ -57,6 +57,7 @@ METRICS = [
     ("flagship_ar1", 600),
     ("supernodal_factorize_selinv", 330),
     ("spmv", 240),
+    ("micro", 420),
     ("supernodal_scale_1e5", 420),
     ("spatial_poisson_nuts", 480),
     ("spatial_poisson_nuts_5741", 560),
@@ -191,18 +192,40 @@ def bench_supernodal_scale_1e5():
 
 def bench_supernodal_scale_1e6():
     """BASELINE-scale proof point #2: the 1e6-node config (BASELINE.md's
-    flagship scale). One factorize+selinv per dispatch; two timed
-    dispatches. The dominant fixed costs in this subprocess are the 6 GB
-    plan pickle load and its one-time ~47 MB/s tunnel transfer."""
+    flagship scale). Runs the STAGED execution path (one compiled program
+    per schedule stage): the fused single-trace program at this size kills
+    the remote compile helper (SIGKILL, see solvers/supernodal.py staged
+    note). The dominant fixed costs in this subprocess are the 6 GB plan
+    pickle load and its one-time ~47 MB/s tunnel transfer."""
+    import numpy as _np
+
     from tests.test_scale import _grid_matern2_precision
+    from tpu_gmrf.solvers.supernodal import (
+        supernodal_factorize_staged,
+        supernodal_selinv_diag_staged,
+        supernodal_symbolic_summary,
+    )
 
     Q = _grid_matern2_precision(1000)
-    _bench_supernodal_on(
-        Q,
+    summ = supernodal_symbolic_summary(Q.pattern)["flops"]
+
+    def call():
+        f = supernodal_factorize_staged(Q)
+        return float(f.logdet()) + float(supernodal_selinv_diag_staged(f).sum())
+
+    acc = call()  # first call: plan load + transfer + (cached) compiles
+    assert _np.isfinite(acc), acc
+    reps = 2
+    t0 = time.time()
+    for _ in range(reps):
+        acc = call()
+    dt = (time.time() - t0) / reps
+    t_cpu = _splu_seconds(Q, reps=1)
+    _emit(
         f"supernodal_factorize_selinv_gflops_n{Q.shape[0]}_grid2d",
-        R=1,
-        reps=2,
-        splu_reps=1,
+        4.0 * summ / dt / 1e9,
+        "GFLOP/s",
+        vs_baseline=t_cpu / dt,
     )
 
 
@@ -292,6 +315,110 @@ def bench_spatial_poisson_nuts_5741():
         g=63, n_chains=8, num_warmup=12, num_samples=12, max_depth=4,
         ga_iters=12, chunk=4, timed_second_run=False,
     )
+
+
+def bench_micro():
+    """Micro-op suite (reference benchmarks/benchmarks.jl:44-76): latent
+    precision assembly, GMRF logpdf / var (selected inversion) / sample
+    (backward solve) at n=1000, and the Fisher-scoring gaussian
+    approximation (Poisson over RW1, n=500). Each op is timed as a
+    K-chained scan inside one dispatch (tunnel RTT amortization); emits one
+    line per op in evals/s so a regression in any single op is visible
+    (VERDICT r4 missing #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_gmrf import (
+        AR1Model,
+        BesagModel,
+        ExponentialFamily,
+        GAOptions,
+        RWModel,
+        gaussian_approximation,
+        hoist_jit,
+    )
+
+    n = 1000
+    ar1 = AR1Model(n)
+    g = ar1(tau=1.5, rho=0.8)
+    z = jnp.asarray(np.random.default_rng(0).normal(size=n), jnp.float32)
+    K = 32
+
+    def chain_scalar(fn):
+        """Scan fn K times with a data dependency so XLA can't collapse it."""
+
+        def run(x0):
+            def body(c, _):
+                v = fn(c)
+                return c * (1.0 + 1e-12 * v), v
+
+            c, vs = jax.lax.scan(body, x0, None, length=K)
+            return vs.sum() + c * 0.0
+
+        return hoist_jit(run)
+
+    cases = {}
+    cases["ar1_logpdf"] = chain_scalar(lambda c: g.logpdf(z * c))
+    cases["ar1_var_selinv"] = chain_scalar(lambda c: (g.var() * c).sum())
+    # sample: fold the carry into the key so each draw differs
+    def _sample(c):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), (c * 1e6).astype(jnp.int32))
+        return g.sample(key).sum()
+
+    cases["ar1_sample"] = chain_scalar(_sample)
+
+    rw = RWModel(n, order=1)
+    cases["rw1_assembly"] = chain_scalar(
+        lambda c: rw.precision(tau=1.0 + 0.1 * c).data.sum()
+    )
+
+    rng = np.random.default_rng(1)
+    y_pois = rng.poisson(1.0, size=500).astype(np.float32)
+    lik = ExponentialFamily("poisson")(jnp.asarray(y_pois))
+    rw500 = RWModel(500, order=1)
+    opts = GAOptions(max_iter=25)
+
+    def _ga(c):
+        post = gaussian_approximation(rw500(tau=1.0 + 0.1 * c), lik, options=opts)
+        return post.mean.sum()
+
+    cases["ga_poisson_rw1_n500"] = chain_scalar(_ga)
+
+    x0 = jnp.asarray(1.0, jnp.float32)
+    for name, fn in cases.items():
+        s = float(fn(x0))  # compile + forced readback
+        assert np.isfinite(s), (name, s)
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            s = float(fn(x0))
+        dt = (time.time() - t0) / (reps * K)
+        _emit(f"micro_{name}_evals_per_sec", 1.0 / dt, "evals/s")
+
+    # Besag construction (host symbolic + variance normalization solve),
+    # eager wall like a user pays it — 20x20 grid (reference
+    # benchmarks.jl:44-56)
+    m = 20
+    idx = np.arange(m * m).reshape(m, m)
+    pairs = np.concatenate(
+        [
+            np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], 1),
+            np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], 1),
+        ]
+    )
+    import scipy.sparse as sp
+
+    W = sp.csr_matrix(
+        (np.ones(len(pairs)), (pairs[:, 0], pairs[:, 1])), shape=(m * m, m * m)
+    )
+    W = W + W.T
+    BesagModel(W)  # warm (pattern caches, trace)
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        BesagModel(W)
+    dt = (time.time() - t0) / reps
+    _emit("micro_besag_construction_per_sec_n400", 1.0 / dt, "evals/s")
 
 
 def bench_flagship_ar1():
@@ -454,6 +581,7 @@ if __name__ == "__main__":
         _setup_jax_cache()
         {
             "flagship_ar1": bench_flagship_ar1,
+            "micro": bench_micro,
             "supernodal_factorize_selinv": bench_supernodal_factorize_selinv,
             "supernodal_scale_1e5": bench_supernodal_scale_1e5,
             "supernodal_scale_1e6": bench_supernodal_scale_1e6,

@@ -50,6 +50,12 @@ def main():
     assert float(np.sqrt(np.mean((fit - y) ** 2))) < 0.12
     assert oos < 0.35, oos
     assert std.min() > 0
+    # golden values: f64 scipy oracle on this exact seeded config
+    # (tools/golden_values.py --only spdes)
+    fit_rmse = float(np.sqrt(np.mean((fit - y) ** 2)))
+    assert abs(fit_rmse - 0.021820) < 2e-3, fit_rmse
+    assert abs(oos - 0.102026) < 8e-3, oos
+    assert abs(float(std.mean()) - 0.497823) < 5e-3, std.mean()
 
 
 if __name__ == "__main__":

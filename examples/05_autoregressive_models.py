@@ -48,6 +48,12 @@ def main():
     assert abs(v - closed) < 1e-2 * closed
     assert float(np.sqrt(np.mean(err**2))) < 1.5  # forecast reverts to prior scale
     assert band[-1] > band[150]  # forecast uncertainty grows
+    # golden values: f64 splu oracle at this exact seeded config
+    # (tools/golden_values.py --only ar_forecast)
+    rmse = float(np.sqrt(np.mean(err**2)))
+    assert abs(rmse - 1.085257) < 2e-2, rmse
+    assert abs(float(band[150]) - 1.002574) < 1e-2, band[150]
+    assert abs(float(band[-1]) - 2.649064) < 3e-2, band[-1]
 
 
 if __name__ == "__main__":

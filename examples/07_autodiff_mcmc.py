@@ -55,6 +55,12 @@ def main():
 
     ld = make_logdensity(loglik, spec)
 
+    # golden value: f64 dense slogdet+quadratic-form oracle of the CAR
+    # logpdf at the true hyperparameters on this seeded draw
+    # (tools/golden_values.py --only car)
+    ll_truth = float(loglik({"rho": true_rho, "sigma": true_sigma}))
+    assert abs(ll_truth - 24.138412) < 0.05, ll_truth
+
     n_chains = 4
     init = jnp.zeros((n_chains, 2), jnp.float32)
     res = run_nuts(

@@ -84,6 +84,17 @@ def main():
     assert per_eval_warm < per_eval_cold
     best = taus[np.argmax(lps)]
     print(f"argmax_tau logpdf(z) = {best:.3f}")
+    # golden anchor: the constrained-Besag τ-profile is analytic,
+    # lp(τ) − lp(τ₀) = (N−1)/2·ln(τ/τ₀) − ½(τ−τ₀)·q with q = zᵀQ(1)z
+    # computed by an f64 scipy oracle on this exact seeded z
+    # (tools/golden_values.py --only besag: q = 41329.223752, and the
+    # fitted coefficient matches (N−1)/2 to 4 significant digits)
+    q_gold = 41329.223752
+    c1 = (N - 1) / 2.0
+    pred = c1 * np.log(taus / taus[0]) - 0.5 * (taus - taus[0]) * q_gold
+    np.testing.assert_allclose(lps - lps[0], pred, atol=1.5 + 2e-4 * np.abs(pred))
+    # τ* = 2c1/q ≈ 0.242 lies below the grid ⇒ argmax at the first point
+    assert best == taus[0], best
     print("OK")
 
 

@@ -41,6 +41,10 @@ def main():
     v = np.asarray(neumann.var())
     print(f"Neumann: boundary var {v[0]:.3f} vs interior {v[n // 2]:.3f}")
     assert v[0] > 1.5 * v[n // 2]
+    # golden values: f64 dense-inverse oracle (tools/golden_values.py
+    # --only boundary)
+    assert abs(v[0] - 0.605518) < 2e-3, v[0]
+    assert abs(v[n // 2] - 0.302768) < 2e-3, v[n // 2]
 
     # 2) soft Dirichlet: boundary dofs ~ N(0, 1e-8)
     dirichlet = MaternSPDE(
@@ -50,6 +54,7 @@ def main():
     print(f"Dirichlet: boundary std {s[0]:.2e}, interior std {s[n // 2]:.3f}")
     np.testing.assert_allclose(s[[0, -1]], 1e-4, rtol=1e-3)
     assert s[n // 2] > 0.1
+    assert abs(s[n // 2] - 0.550227) < 2e-3, s[n // 2]  # golden (f64 oracle)
 
     # 3) periodic: hard constraint u_0 - u_{n-1} = 0
     A = jnp.zeros((1, n)).at[0, 0].set(1.0).at[0, n - 1].set(-1.0)
@@ -70,6 +75,7 @@ def main():
     stds = np.asarray(X.time_stds())
     print(f"AD-SPDE Dirichlet: boundary std {stds[4, 0]:.2e}, interior {stds[4, n // 2]:.3f}")
     assert stds[4, 0] < 1e-3 and stds[4, n // 2] > 1e-3
+    assert abs(stds[4, n // 2] - 0.072161) < 1e-3, stds[4, n // 2]  # golden
     print("OK")
 
 

@@ -41,6 +41,9 @@ def main():
     v = np.asarray(prior.var())
     print(f"prior variance: median {np.median(v):.3f} (normalized to 1)")
     assert 0.5 < np.median(v) < 2.0
+    # golden value: f64 dense-inverse oracle (tools/golden_values.py
+    # --only manifold)
+    assert abs(float(np.median(v)) - 1.124293) < 1e-2, np.median(v)
 
     # correlation from the north pole decays with geodesic distance
     north = int(np.argmax(mesh.vertices[:, 2]))
@@ -53,6 +56,9 @@ def main():
     print(f"mean corr near pole {corr[near].mean():.3f}, antipodal {corr[far].mean():.3f}")
     assert corr[near].mean() > 0.5
     assert abs(corr[far].mean()) < 0.1
+    # golden values (f64 oracle): near-pole 0.756208, |antipodal| 0.004910
+    assert abs(float(corr[near].mean()) - 0.756208) < 1e-2
+    assert abs(float(corr[far].mean())) < 0.02
     # monotone-ish decay: binned correlation decreases with geodesic distance
     bins = np.digitize(geo, np.linspace(0, np.pi, 8))
     means = [corr[bins == b].mean() for b in range(1, 5)]

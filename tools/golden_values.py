@@ -166,8 +166,202 @@ def golden_advdiff():
     print(f"advdiff_peak_later = {float(nodes[np.argmax(mm[tl])]):.6f}")
 
 
+def golden_spatial_spdes():
+    """Example 02 config: Matérn regression on 120 scattered sites."""
+    from tpu_gmrf import MaternModel
+
+    rng = np.random.default_rng(42)
+    sites = rng.uniform(0, 2, size=(120, 2))
+    truth = lambda p: np.sin(2.5 * p[:, 0]) * np.cos(1.5 * p[:, 1])
+    y = truth(sites) + 0.1 * rng.standard_normal(len(sites))
+    model = MaternModel(sites, smoothness=1)
+    Q = _to_csr64(model.precision(tau=1.0, range=0.5))
+
+    def toc(A):
+        return sp.coo_matrix(
+            (np.asarray(A.data, np.float64), (A.pattern.rows, A.pattern.cols)),
+            shape=A.shape,
+        ).tocsr()
+
+    A64 = toc(model.evaluation_matrix())
+    Qp = (Q + A64.T @ A64 * (1.0 / 0.1**2)).tocsc()
+    mean = spl.splu(Qp).solve(A64.T @ y * (1.0 / 0.1**2))
+    std = np.sqrt(np.diag(np.linalg.inv(Qp.toarray())))
+    fit = A64 @ mean
+    gx, gy = np.meshgrid(np.linspace(0.2, 1.8, 8), np.linspace(0.2, 1.8, 8))
+    newpts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    pred = toc(model.evaluation_matrix(newpts)) @ mean
+    print(f"spdes_fit_rmse = {float(np.sqrt(np.mean((fit - y) ** 2))):.6f}")
+    print(f"spdes_oos_rmse = {float(np.sqrt(np.mean((pred - truth(newpts)) ** 2))):.6f}")
+    print(f"spdes_mean_std = {float(std.mean()):.6f}")
+
+
+def golden_ar_forecast():
+    """Example 05 config: AR(2) forecast through an f64 splu oracle (the
+    latent sample x is the library's seeded f32 draw — deterministic)."""
+    import jax as _jax
+
+    from tpu_gmrf import ARModel
+
+    rng = np.random.default_rng(3)
+    n = 200
+    model = ARModel(n, order=2)
+    prior = model(tau=1.0, pacf1=0.9, pacf2=-0.5)
+    x = np.asarray(prior.sample(_jax.random.PRNGKey(0)), np.float64)
+    obs = np.arange(150)
+    y = x[obs] + 0.05 * rng.standard_normal(len(obs))
+    Q = _to_csr64(model.precision(tau=1.0, pacf1=0.9, pacf2=-0.5))
+    A64 = sp.eye(n, format="csr")[obs]
+    Qp = (Q + A64.T @ A64 * (1.0 / 0.05**2)).tocsc()
+    mean = spl.splu(Qp).solve(A64.T @ y * (1.0 / 0.05**2))
+    std = np.sqrt(np.diag(np.linalg.inv(Qp.toarray())))
+    err = mean[150:160] - x[150:160]
+    print(f"ar2_forecast_rmse = {float(np.sqrt(np.mean(err ** 2))):.6f}")
+    print(f"ar2_band_150 = {float(std[150]):.6f}")
+    print(f"ar2_band_last = {float(std[-1]):.6f}")
+
+
+def golden_car_logpdf():
+    """Example 07 anchor: f64 dense logpdf of the CAR model at the true
+    (rho, sigma) on the seeded observation draw."""
+    import jax as _jax
+
+    from tpu_gmrf.models.car import generate_car_model
+
+    N = 21
+    rows, cols, vals = [], [], []
+    for i in range(N):
+        for k in (-2, -1, 1, 2):
+            j = i + k
+            if 0 <= j < N:
+                rows.append(i)
+                cols.append(j)
+                vals.append(1.0 / abs(k))
+    W = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+    car = generate_car_model(W, 0.85, sigma=0.01)
+    y = np.asarray(car.sample(_jax.random.PRNGKey(123)), np.float64)
+    Qd = _to_csr64(car.Q).toarray()
+    sign, ld = np.linalg.slogdet(Qd)
+    ll = 0.5 * ld - 0.5 * y @ Qd @ y - 0.5 * N * np.log(2 * np.pi)
+    print(f"car_loglik_at_truth = {float(ll):.6f}")
+
+
+def golden_besag_profile():
+    """Example 08 anchor: the τ-profile of the constrained Besag logpdf is
+    analytic — lp(τ) = const + c1·ln τ − ½τ·q with q = zᵀQ(1)z (f64 splu)
+    and c1 set by the effective rank. Prints q, the analytic argmax τ* =
+    2c1/q, and the empirically fitted c1 from the library (CPU f64-ish)."""
+    import jax.numpy as jnp
+
+    from tpu_gmrf import BesagModel
+
+    m_grid = 100
+    idx = np.arange(m_grid * m_grid).reshape(m_grid, m_grid)
+    pairs = np.concatenate(
+        [
+            np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], 1),
+            np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()], 1),
+        ]
+    )
+    W = sp.csr_matrix(
+        (np.ones(len(pairs)), (pairs[:, 0], pairs[:, 1])),
+        shape=(m_grid**2, m_grid**2),
+    )
+    W = W + W.T
+    model = BesagModel(W)
+    N = W.shape[0]
+    rng = np.random.default_rng(42)
+    z = rng.normal(size=N)
+    z -= z.mean()
+    Q1 = _to_csr64(model.precision(tau=1.0))
+    q = float(z @ (Q1 @ z))
+    print(f"besag_quadform_q = {q:.6f}")
+    # fit c1 from two library evaluations
+    z32 = jnp.asarray(z, jnp.float32)
+    lp = [float(model(tau=t).logpdf(z32)) for t in (0.5, 1.0, 2.0)]
+    for t1, lp1 in zip((1.0, 2.0), lp[1:]):
+        c1 = (lp1 - lp[0] + 0.5 * (t1 - 0.5) * q) / np.log(t1 / 0.5)
+        print(f"besag_c1_fit(tau={t1}) = {c1:.3f}  [(n-1)/2 = {(N-1)/2}]")
+    print(f"besag_tau_star_analytic = {2 * ((N - 1) / 2) / q:.6f}")
+
+
+def golden_boundary():
+    """Example 11 anchors: Neumann/Dirichlet variances via f64 inverses."""
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+    from tpu_gmrf.fem import (
+        AdvectionDiffusionSPDE,
+        FEMDiscretization,
+        MaternSPDE,
+        interval_mesh,
+    )
+
+    n = 51
+    disc = FEMDiscretization(interval_mesh(-1.0, 1.0, n))
+    kappa = float(np.sqrt(8 * 1.5) / 0.5)
+    Qn = _to_csr64(
+        MaternSPDE(disc, smoothness=1, variance=0.3).precision(kappa=kappa)
+    ).toarray()
+    vn = np.diag(np.linalg.inv(Qn))
+    print(f"bc_neumann_v0 = {float(vn[0]):.6f}")
+    print(f"bc_neumann_vmid = {float(vn[n // 2]):.6f}")
+    Qd = _to_csr64(
+        MaternSPDE(
+            disc, smoothness=1, variance=0.3, bc="dirichlet", boundary_noise=1e-4
+        ).precision(kappa=kappa)
+    ).toarray()
+    sd = np.sqrt(np.diag(np.linalg.inv(Qd)))
+    print(f"bc_dirichlet_smid = {float(sd[n // 2]):.6f}")
+    spde = AdvectionDiffusionSPDE(
+        disc, gamma=[-0.6], H=np.array([[0.1]]), tau=0.1, alpha=1,
+        kappa=1.0, c=1.0, bc="dirichlet", constraint_noise=1e-4,
+    )
+    from tpu_gmrf.solvers import SolverSpec
+
+    X = spde.discretize(np.linspace(0, 1, 8), solver=SolverSpec(kind="dense"))
+    Qst = _to_csr64(X.Q).toarray()
+    sst = np.sqrt(np.diag(np.linalg.inv(Qst))).reshape(8, n)
+    print(f"bc_adspde_smid_t4 = {float(sst[4, n // 2]):.6f}")
+
+
+def golden_manifold():
+    """Example 14 anchors: sphere Matérn marginal variance + near-pole
+    correlation via f64 dense inverse of the assembled precision."""
+    from tpu_gmrf.fem import FEMDiscretization, MaternSPDE, icosphere
+
+    mesh = icosphere(3)
+    disc = FEMDiscretization(mesh)
+    kappa = float(np.sqrt(8.0) / 1.0)
+    Q = _to_csr64(MaternSPDE(disc, smoothness=0, variance=1.0).precision(kappa=kappa)).toarray()
+    Sig = np.linalg.inv(Q)
+    v = np.diag(Sig)
+    north = int(np.argmax(mesh.vertices[:, 2]))
+    corr = Sig[:, north] / np.sqrt(v * v[north])
+    geo = np.arccos(np.clip(mesh.vertices @ mesh.vertices[north], -1, 1))
+    print(f"manifold_median_var = {float(np.median(v)):.6f}")
+    print(f"manifold_near_corr = {float(corr[geo < 0.3].mean()):.6f}")
+    print(f"manifold_far_corr = {float(np.abs(corr[geo > np.pi - 0.5].mean())):.6f}")
+
+
 if __name__ == "__main__":
-    golden_ar1()
-    golden_spatial()
-    golden_bernoulli()
-    golden_advdiff()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+    fns = dict(
+        ar1=golden_ar1,
+        spatial=golden_spatial,
+        bernoulli=golden_bernoulli,
+        advdiff=golden_advdiff,
+        spdes=golden_spatial_spdes,
+        ar_forecast=golden_ar_forecast,
+        car=golden_car_logpdf,
+        besag=golden_besag_profile,
+        boundary=golden_boundary,
+        manifold=golden_manifold,
+    )
+    names = args.only if args.only else list(fns)
+    for nm in names:
+        fns[nm]()

@@ -26,9 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tests.test_scale import _grid_matern2_precision
-from tpu_gmrf import hoist_jit
 from tpu_gmrf.solvers.supernodal import (
-    supernodal_factorize,
+    supernodal_factorize_staged,
+    supernodal_selinv_diag_staged,
     supernodal_symbolic_summary,
 )
 
@@ -46,20 +46,20 @@ summ = supernodal_symbolic_summary(Q.pattern)
 log(f"symbolic core {time.time()-t0:.0f}s flops={summ['flops']:.4g}")
 
 
-def work(data):
-    f = supernodal_factorize(dataclasses.replace(Q, data=data))
-    return f.logdet() + f.selinv_diag().sum()
+def work():
+    f = supernodal_factorize_staged(Q)
+    d = supernodal_selinv_diag_staged(f)
+    return float(f.logdet()) + float(d.sum())
 
 
-fn = hoist_jit(work)
 t0 = time.time()
-acc = float(fn(Q.data))
+acc = work()
 log(f"first call (plan load+transfer+compile+run): {time.time()-t0:.0f}s acc={acc:.6g}")
 assert np.isfinite(acc), acc
 
 for i in range(3):
     t0 = time.time()
-    acc = float(fn(Q.data))
+    acc = work()
     dt = time.time() - t0
     log(
         f"warm call {i}: {dt:.2f}s -> {4.0*summ['flops']/dt/1e9:.1f} GFLOP/s "
