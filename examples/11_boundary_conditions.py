@@ -21,7 +21,11 @@ import jax
 
 # The constrained space-time joint in section 4 has condition ~noise⁻²·κ⁴;
 # like the reference (which is f64-only) this example runs double precision.
+# TPU backends silently execute x64 requests in f32 (≈2.5% error on the
+# stiff section-4 marginals, outside the golden tolerances) — pin the CPU
+# backend, where x64 is real.
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from tpu_gmrf import ConstrainedGMRF
