@@ -42,6 +42,7 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: heavyweight compile/scale tests — excluded from the smoke tier "
-        "(run `pytest -m 'not slow'` for the ~8 min CI smoke job; the full "
-        "tier incl. all examples runs nightly)",
+        "(run `pytest -m 'not slow' -n 2` for the CI smoke job — measured "
+        "~18 min on 2 loaded cores, r5; the full tier incl. all examples "
+        "runs nightly)",
     )
