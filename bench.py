@@ -310,10 +310,13 @@ def bench_spatial_poisson_nuts_5741():
     docs/src/literate-tutorials/workspace_factorization_reuse.jl:23-26).
     Fewer, shallower draws than the toy config; single timed run (warm
     compile via .jax_cache; a second identical run would double the
-    budget for ~no variance reduction at this draw count)."""
+    budget for ~no variance reduction at this draw count). Sized so each
+    chunked dispatch stays ≲15 s: an 8-chain depth-4 chunk=4 config ran
+    ~100 s dispatches and crashed the TPU worker (axon kills long
+    dispatches — the round-2/3 failure mode, now at the worker level)."""
     _spatial_poisson_nuts(
-        g=63, n_chains=8, num_warmup=12, num_samples=12, max_depth=4,
-        ga_iters=12, chunk=4, timed_second_run=False,
+        g=63, n_chains=4, num_warmup=8, num_samples=8, max_depth=3,
+        ga_iters=10, chunk=2, timed_second_run=False,
     )
 
 

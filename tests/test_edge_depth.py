@@ -210,3 +210,35 @@ def test_ga_conjugate_matches_linear_condition(rng):
     np.testing.assert_allclose(
         np.asarray(post_ga.std()), np.asarray(post_lc.std()), atol=1e-5
     )
+
+
+def test_reverse_mode_through_banded_inner_solver(rng):
+    """Regression (r5): reverse mode through laplace_marginal with the
+    BANDED inner solver used to die in scan transposition (ValAccum leak);
+    the IFT tangent solve now rides lax.custom_linear_solve. Gradients
+    must agree across banded/dense inner backends."""
+    import jax.numpy as jnp
+
+    from tpu_gmrf import ExponentialFamily, GAOptions, MaternModel, laplace_marginal
+    from tpu_gmrf.solvers.base import SolverSpec
+
+    gx, gy = np.meshgrid(np.linspace(0, 1, 7), np.linspace(0, 1, 7))
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    model = MaternModel(pts, smoothness=1)
+    y = rng.poisson(1.0, size=model.n).astype(np.float64)
+    obs = ExponentialFamily("poisson")
+
+    def grad_with(kind):
+        opts = GAOptions(max_iter=8, inner_solver=SolverSpec(kind=kind))
+
+        def f(t):
+            return laplace_marginal(
+                model, obs, jnp.asarray(y),
+                {"tau": jnp.exp(t[0]), "range": jnp.exp(t[1])}, options=opts,
+            )
+
+        return np.asarray(jax.grad(f)(jnp.asarray([0.0, -1.2])))
+
+    gb = grad_with("banded")
+    gd = grad_with("dense")
+    np.testing.assert_allclose(gb, gd, rtol=1e-4, atol=1e-6)

@@ -188,7 +188,17 @@ def _newton_mode_jvp(opts, primals, tangents):
         return Q_p_.matvec(x_star - mu_p_) - obs_lik_.loggrad(x_star)
 
     _, dscore = jax.jvp(score, (Q_p, mu_p, obs_lik), (dQ, dmu, dlik))
-    dx = factor.solve(-dscore)
+    # The tangent solve rides lax.custom_linear_solve so reverse mode
+    # transposes it as "solve the (symmetric) system again" instead of
+    # transposing the backend's internal scans — scan transposition breaks
+    # on the banded backend's blocked solves (ValAccum leak), and opacity
+    # is the right semantics anyway: the factor is a primal constant here.
+    def _opaque_solve(b):
+        return jax.lax.custom_linear_solve(
+            Q_post.matvec, b, lambda _mv, rhs: factor.solve(rhs), symmetric=True
+        )
+
+    dx = _opaque_solve(-dscore)
     if A is not None:
         # KKT tangent system: project so the constraint residual tangent
         # A·dx − A·dx0 vanishes (e-sensitivity enters through x0).

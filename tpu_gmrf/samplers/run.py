@@ -32,6 +32,15 @@ from .nuts import nuts_kernel
 __all__ = ["run_nuts", "run_hmc", "NUTSResult"]
 
 
+class _HMCInfo(NamedTuple):
+    # module-level (not per-trace): chunked drivers concatenate info trees
+    # across traces of different chunk sizes, so the treedef class must be
+    # stable across traces
+    accept_prob: Any
+    diverging: Any
+    depth: Any
+
+
 class NUTSResult(NamedTuple):
     samples: Any  # (chains, num_samples, dim)
     logdensity: Any  # (chains, num_samples)
@@ -400,13 +409,9 @@ def run_hmc(
 
     def wrapped(key, state, step_size, inv_mass):
         state, info = kernel(key, state, step_size, inv_mass)
-
-        class _I(NamedTuple):
-            accept_prob: Any
-            diverging: Any
-            depth: Any
-
-        return state, _I(info["accept_prob"], ~info["accepted"], jnp.zeros((), jnp.int32))
+        return state, _HMCInfo(
+            info["accept_prob"], ~info["accepted"], jnp.zeros((), jnp.int32)
+        )
 
     if dispatch_chunk is not None:
         return _run_chunked(
