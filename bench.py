@@ -52,16 +52,19 @@ def _setup_jax_cache():
 
 R1_FLAGSHIP = 223.134  # BENCH_r01.json
 
-# (name, subprocess timeout seconds) — flagship first; one attempt each
+# (name, subprocess timeout seconds) — flagship first; one attempt each.
+# Ordered so the headline metrics land earliest (each line prints the
+# moment its subprocess returns); budgets ≈ 1.5× the measured warm wall
+# (r5: flagship ≈ 540 s incl. cache load, 1e6 ≈ 523 s, 5741 NUTS ≈ 540 s).
 METRICS = [
     ("flagship_ar1", 600),
     ("supernodal_factorize_selinv", 330),
     ("spmv", 240),
-    ("micro", 420),
     ("supernodal_scale_1e5", 420),
+    ("supernodal_scale_1e6", 800),
+    ("micro", 420),
     ("spatial_poisson_nuts", 480),
-    ("spatial_poisson_nuts_5741", 560),
-    ("supernodal_scale_1e6", 590),
+    ("spatial_poisson_nuts_5741", 900),
 ]
 
 
@@ -231,7 +234,7 @@ def bench_supernodal_scale_1e6():
 
 def _spatial_poisson_nuts(
     g, n_chains, num_warmup, num_samples, max_depth, ga_iters, chunk,
-    timed_second_run=True,
+    timed_second_run=True, inner_kind=None,
 ):
     """NUTS over (tau, range) of a Matérn-latent Poisson model: every
     leapfrog leaf re-assembles the SPDE precision, runs the Newton Laplace
@@ -265,7 +268,12 @@ def _spatial_poisson_nuts(
         tau=(LogTransform(), lambda t: -0.5 * jnp.log(t) ** 2),
         range=(LogTransform(), lambda r: -0.5 * (jnp.log(r) - np.log(0.3)) ** 2),
     )
-    opts = GAOptions(max_iter=ga_iters)
+    if inner_kind is None:
+        opts = GAOptions(max_iter=ga_iters)
+    else:
+        opts = GAOptions(
+            max_iter=ga_iters, inner_solver=SolverSpec(kind=inner_kind)
+        )
 
     def loglik(theta):
         return laplace_marginal(model, obs, y, theta, options=opts)
@@ -314,8 +322,12 @@ def bench_spatial_poisson_nuts_5741():
     chunked dispatch stays ≲15 s: an 8-chain depth-4 chunk=4 config ran
     ~100 s dispatches and crashed the TPU worker (axon kills long
     dispatches — the round-2/3 failure mode, now at the worker level)."""
+    # auto inner solver (banded at this size): the supernodal inner solver
+    # inside vmapped NUTS faults the TPU worker (r5, twice) — the banded
+    # path is the one that completes. Measured 0.032 samples/s; sized so
+    # the timed run fits the budget.
     _spatial_poisson_nuts(
-        g=63, n_chains=4, num_warmup=8, num_samples=8, max_depth=3,
+        g=63, n_chains=4, num_warmup=4, num_samples=4, max_depth=3,
         ga_iters=10, chunk=2, timed_second_run=False,
     )
 
