@@ -58,7 +58,7 @@ R1_FLAGSHIP = 223.134  # BENCH_r01.json
 # (r5: flagship ≈ 540 s incl. cache load, 1e6 ≈ 523 s, 5741 NUTS ≈ 540 s).
 METRICS = [
     ("flagship_ar1", 600),
-    ("supernodal_factorize_selinv", 330),
+    ("supernodal_factorize_selinv", 540),
     ("spmv", 240),
     ("supernodal_scale_1e5", 420),
     ("supernodal_scale_1e6", 800),
