@@ -172,3 +172,30 @@ class TestSupernodalFactor:
         expected = multivariate_normal(np.zeros(n), np.linalg.inv(Ad)).logpdf(x)
         assert np.allclose(float(g.logpdf(jnp.asarray(x))), expected, rtol=1e-8)
         assert np.allclose(np.asarray(g.var()), np.diag(np.linalg.inv(Ad)), atol=1e-7)
+
+
+def test_plan_disk_cache_roundtrip(tmp_path, monkeypatch, rng):
+    """A plan pickled to TPU_GMRF_PLAN_CACHE and reloaded in a fresh
+    in-memory cache must drive a factorization identical to the freshly
+    built plan (the n=1e6 bench path depends on this roundtrip)."""
+    import tpu_gmrf.solvers.supernodal as sn
+    from tests.conftest import random_sparse_spd
+    from tpu_gmrf import from_scipy
+
+    monkeypatch.setenv("TPU_GMRF_PLAN_CACHE", str(tmp_path))
+    monkeypatch.setattr(sn, "_DISK_MIN_N", 1)
+
+    S = random_sparse_spd(rng, 60)
+    Q = from_scipy(S)
+    f1 = sn.supernodal_factorize(Q)
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1, files
+
+    # evict the in-memory caches; the next plan call must load from disk
+    key = (Q.pattern, 2048, "auto")
+    saved = sn._PLAN_CACHE.pop(key)
+    plan2 = sn.supernodal_plan(Q.pattern)
+    assert plan2 is not saved  # came from disk, not memory
+    f2 = sn.supernodal_factorize(Q)
+    np.testing.assert_array_equal(np.asarray(f1.vals), np.asarray(f2.vals))
+    np.testing.assert_allclose(float(f1.logdet()), float(f2.logdet()), rtol=0)

@@ -94,6 +94,10 @@ _SELINV_CACHE: dict = {}
 # bump when the plan dict layout changes (invalidates the disk cache)
 _PLAN_VERSION = 5
 
+# plans below this size rebuild faster than they pickle — no disk cache
+# (module-level so tests can lower it to exercise the roundtrip)
+_DISK_MIN_N = 50_000
+
 _TOP_MAX = 48  # supernode budget for the exactly-unrolled top segment
 
 
@@ -442,7 +446,7 @@ def supernodal_plan(
     # it. Opt-in via TPU_GMRF_PLAN_CACHE=<dir>; keyed by pattern content
     # hash + parameters + format version.
     disk = None
-    if pattern.shape[0] >= 50_000:
+    if pattern.shape[0] >= _DISK_MIN_N:
         root = os.environ.get("TPU_GMRF_PLAN_CACHE")
         if root:
             tag = hashlib.sha1(
