@@ -339,7 +339,13 @@ def bench_micro():
     approximation (Poisson over RW1, n=500). Each op is timed as a
     K-chained scan inside one dispatch (tunnel RTT amortization); emits one
     line per op in evals/s so a regression in any single op is visible
-    (VERDICT r4 missing #5)."""
+    (VERDICT r4 missing #5).
+
+    Interpretation note: at n=1000 these ops are dispatch-latency-bound on
+    the remote-attached chip (one K=32 dispatch ≈ one ~27 ms RTT), so the
+    TPU values track the dispatch path, not kernel speed — on local CPU
+    the same ops run 20–100× more evals/s. They are regression tripwires,
+    not throughput claims; the macro metrics carry the throughput story."""
     import jax
     import jax.numpy as jnp
 
